@@ -1,0 +1,183 @@
+"""Pixel grids, inverse-depth warping and bilinear sampling.
+
+TPU-native rewrite of the warping core of the reference
+(code/models/geometry.py:37-85, :291-365, :1129-1136).  Layout convention is
+``[B, C, H, W]`` (matching the reference so imported checkpoints and recorded
+activations line up), all shapes static, all masking expressed as
+``jnp.where`` so every function jits cleanly.
+
+The bilinear sampler reproduces ``torch.nn.functional.grid_sample`` with
+``align_corners=True, padding_mode='border'`` bit-for-bit: the reference
+normalizes pixel coordinates by ``(size-1)/2`` (geometry.py:359-360) which
+under ``align_corners=True`` is the identity map back to pixel coordinates,
+so sampling reduces to clamp-to-border bilinear interpolation at pixel
+coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def generate_xy_grid(B: int, H: int, W: int, K: jnp.ndarray):
+    """Normalized camera-ray grid ``px=(u-cx)/fx, py=(v-cy)/fy``.
+
+    Reference: geometry.py:63-85.
+
+    :param K: intrinsics ``[B,4]`` as ``[fx, fy, cx, cy]``
+    :return: ``(px, py)`` each ``[B,1,H,W]``
+    """
+    fx, fy, cx, cy = K[:, 0], K[:, 1], K[:, 2], K[:, 3]
+    u = jnp.arange(W, dtype=K.dtype)[None, None, None, :]  # [1,1,1,W]
+    v = jnp.arange(H, dtype=K.dtype)[None, None, :, None]  # [1,1,H,1]
+    px = (u - cx[:, None, None, None]) / fx[:, None, None, None]
+    py = (v - cy[:, None, None, None]) / fy[:, None, None, None]
+    px = jnp.broadcast_to(px, (B, 1, H, W))
+    py = jnp.broadcast_to(py, (B, 1, H, W))
+    return px, py
+
+
+def batch_warp_inverse_depth(px, py, invD0, pose10, K):
+    """Warp grid under SE(3) with inverse depth (ref geometry.py:291-323).
+
+    ``warped = R @ [x,y,1] + t * invD0``; projected back through K.
+
+    :return: ``(u, v, inv_z)`` each ``[B,1,H,W]``
+    """
+    R, t = pose10
+    B, _, H, W = px.shape
+    ones = jnp.ones_like(px)
+    xy1 = jnp.concatenate([px, py, ones], axis=1).reshape(B, 3, H * W)
+    warped = R @ xy1 + t[:, :, None] * invD0.reshape(B, 1, H * W)
+    x_, y_, s_ = warped[:, 0], warped[:, 1], warped[:, 2]
+    fx, fy, cx, cy = K[:, 0:1], K[:, 1:2], K[:, 2:3], K[:, 3:4]
+    u_ = (x_ / s_) * fx + cx
+    v_ = (y_ / s_) * fy + cy
+    inv_z = invD0 / s_.reshape(B, 1, H, W)
+    return u_.reshape(B, 1, H, W), v_.reshape(B, 1, H, W), inv_z
+
+
+def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample ``F`` at pixel coords ``(u, v)`` with border padding.
+
+    Matches ``grid_sample(align_corners=True, padding_mode='border')``
+    exactly (ref geometry.py:353-365): coordinates are clamped to
+    ``[0, size-1]`` and bilinearly interpolated.
+
+    :param F: ``[B,C,H,W]``; u, v: ``[B,1,H',W']`` (or ``[B,HW]``)
+    :return: ``[B,C,H',W']``
+    """
+    B, C, H, W = F.shape
+    out_shape = u.shape  # [B,1,H',W']
+    uf = u.reshape(B, -1)
+    vf = v.reshape(B, -1)
+    uf = jnp.clip(uf, 0.0, W - 1.0)
+    vf = jnp.clip(vf, 0.0, H - 1.0)
+    u0 = jnp.floor(uf)
+    v0 = jnp.floor(vf)
+    du = uf - u0
+    dv = vf - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    u1i = jnp.minimum(u0i + 1, W - 1)
+    v1i = jnp.minimum(v0i + 1, H - 1)
+
+    flat = F.reshape(B, C, H * W)
+
+    def gather(vi, ui):
+        idx = vi * W + ui  # [B, N]
+        return jnp.take_along_axis(flat, idx[:, None, :], axis=2)  # [B,C,N]
+
+    f00 = gather(v0i, u0i)
+    f01 = gather(v0i, u1i)
+    f10 = gather(v1i, u0i)
+    f11 = gather(v1i, u1i)
+    du = du[:, None, :]
+    dv = dv[:, None, :]
+    out = (
+        f00 * (1 - du) * (1 - dv)
+        + f01 * du * (1 - dv)
+        + f10 * (1 - du) * dv
+        + f11 * du * dv
+    )
+    if len(out_shape) == 4:
+        return out.reshape(B, C, out_shape[2], out_shape[3])
+    return out
+
+
+def check_occ(inv_z_buffer, inv_z_ref, u, v, thres: float = 1e-1) -> jnp.ndarray:
+    """Z-buffer occlusion + out-of-view check (ref geometry.py:334-350).
+
+    :return: boolean ``[B,1,H,W]``, True where INVALID (occluded/out of view)
+    """
+    _, _, H, W = inv_z_buffer.shape
+    inv_z_warped = warp_features(inv_z_ref, u, v)
+    inlier = inv_z_buffer > (inv_z_warped - thres)
+    inviews = inlier & (u > 0) & (u < W) & (v > 0) & (v < H)
+    return ~inviews
+
+
+def compute_vertex(depth: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """Depth map -> 3D vertex map ``[px*d, py*d, d]`` (ref geometry.py:1129-1136)."""
+    return jnp.concatenate([px * depth, py * depth, depth], axis=1)
+
+
+def batch_transform_xyz(xyz, R, t):
+    """Rigid transform of a point-cloud map ``[B,3,H,W]`` (ref geometry.py:376-399)."""
+    B, C, H, W = xyz.shape
+    p = xyz.reshape(B, 3, H * W)
+    out = R @ p + t.reshape(B, 3, 1)
+    return out.reshape(B, 3, H, W)
+
+
+def transform_xyz_jacobian(xyz, R):
+    """Jacobian of ``R p + t`` w.r.t. the [rot, trs] twist as used by the
+    uncertainty-propagating EPE loss (ref geometry.py:390-397).
+
+    :return: ``[B, H*W, 3, 6]`` with ``J = [skew(R p) | -I]``.
+    """
+    B, _, H, W = xyz.shape
+    p = xyz.reshape(B, 3, H * W)
+    rotated = jnp.swapaxes(R @ p, 1, 2)  # [B, HW, 3]
+    from .lie import skew
+
+    J_r = skew(rotated)  # [B, HW, 3, 3]
+    J_t = jnp.broadcast_to(-jnp.eye(3, dtype=xyz.dtype), (B, H * W, 3, 3))
+    return jnp.concatenate([J_r, J_t], axis=-1)
+
+
+def batch_project(xyz, K):
+    """Project point-cloud map to pixels (ref geometry.py:408-427)."""
+    x, y, z = xyz[:, 0:1], xyz[:, 1:2], xyz[:, 2:3]
+    fx = K[:, 0][:, None, None, None]
+    fy = K[:, 1][:, None, None, None]
+    cx = K[:, 2][:, None, None, None]
+    cy = K[:, 3][:, None, None, None]
+    u = fx * x / z + cx
+    v = fy * y / z + cy
+    return jnp.concatenate([u, v], axis=1)
+
+
+def batch_inverse_project(depth, K):
+    """Back-project a depth map to a point-cloud map (ref geometry.py:429-445)."""
+    if depth.ndim == 3:
+        depth = depth[:, None]
+    B, _, H, W = depth.shape
+    px, py = generate_xy_grid(B, H, W, K)
+    return jnp.concatenate([px * depth, py * depth, depth], axis=1)
+
+
+def scale_K(K: jnp.ndarray, level: int) -> jnp.ndarray:
+    """Intrinsics for pyramid level ``l`` (2x avg-pool downsampling per level).
+
+    The reference halves K with a custom tensor bit-shift ``K >> l``
+    (LeastSquareTracking.py:350,374,398); arithmetically that is ``K / 2^l``.
+    """
+    return K / jnp.asarray(1 << level, dtype=K.dtype)
+
+
+def resize_K(K: jnp.ndarray, sx: float, sy: float) -> jnp.ndarray:
+    """Rescale intrinsics for an image resize by (sx, sy) (ref criterions.py:118-122)."""
+    return K * jnp.asarray([sx, sy, sx, sy], dtype=K.dtype)[None, :]

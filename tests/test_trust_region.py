@@ -1,0 +1,220 @@
+"""End-to-end solver convergence tests on synthetic RGB-D pairs.
+
+These are the TPU-native analogue of the reference's implicit integration
+tests: a known small SE(3) motion between two synthetic frames must be
+recovered by the coarse-to-fine IC Gauss-Newton loops.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from deep_prob_feature_track_tpu.geometry import lie, warp
+from deep_prob_feature_track_tpu.solvers import trust_region as TR
+
+
+def make_pair(rng, B=1, H=60, W=80, depth_base=2.0):
+    """Synthetic textured plane observed from two nearby viewpoints.
+
+    Frame 0 renders a smooth intensity field on a plane; frame 1 is the same
+    scene after a small camera motion, rendered by inverse-warping (so the
+    pair is exactly consistent with the GT pose and depths).
+    """
+    K = jnp.asarray(np.tile([[0.6 * W, 0.6 * W, (W - 1) / 2.0, (H - 1) / 2.0]], (B, 1)))
+
+    def field(u, v):
+        return (
+            jnp.sin(u / 4.5) * jnp.cos(v / 5.5)
+            + 0.6 * jnp.sin(u / 11.0 + 1.0)
+            + 0.4 * jnp.cos(v / 8.0 + 0.5)
+        )
+
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    uu = jnp.asarray(xx, dtype=jnp.float64)[None, None]
+    vv = jnp.asarray(yy, dtype=jnp.float64)[None, None]
+    uu = jnp.broadcast_to(uu, (B, 1, H, W))
+    vv = jnp.broadcast_to(vv, (B, 1, H, W))
+
+    depth0 = jnp.full((B, 1, H, W), depth_base)
+    f0 = field(uu, vv)
+
+    # GT motion (template -> live), small
+    w_gt = jnp.asarray(rng.uniform(-0.01, 0.01, size=(B, 3)))
+    t_gt = jnp.asarray(rng.uniform(-0.02, 0.02, size=(B, 3)))
+    R_gt = lie.exp_so3(w_gt)
+
+    # render frame1 on the plane: frame1 pixel (u1,v1) sees point X1 = T * X0;
+    # equivalently, frame1's image of the plane is f0 warped by the INVERSE
+    # warp.  For a fronto-parallel plane and small motion we generate f1 by
+    # sampling: for each pixel of frame1, find the frame-0 point.
+    R_inv, t_inv = lie.inverse(R_gt, t_gt)
+    px1, py1 = warp.generate_xy_grid(B, H, W, K)
+    # depth of the plane in frame 1 ~ depth_base + tz (small-motion approx is
+    # not good enough; compute exactly): plane z0=depth_base in frame 0.
+    # Point on ray of pixel x1 with unknown depth d1 satisfies
+    # (R_inv [p1x,p1y,1] d1 + t_inv).z = depth_base
+    dirs = jnp.concatenate([px1, py1, jnp.ones_like(px1)], axis=1)  # [B,3,H,W]
+    rz = jnp.einsum("bj,bjhw->bhw", R_inv[:, 2, :], dirs)[:, None]
+    d1 = (depth_base - t_inv[:, 2][:, None, None, None]) / rz
+    X0 = warp.batch_transform_xyz(dirs * d1, R_inv, t_inv)
+    uv0 = warp.batch_project(X0, K)
+    f1 = field(uv0[:, 0:1], uv0[:, 1:2])
+    depth1 = d1
+    return K, f0, f1, depth0, depth1, (R_gt, t_gt)
+
+
+def pose_error(pose, pose_gt):
+    dR, dt = lie.between(pose[0], pose[1], pose_gt[0], pose_gt[1])
+    ang = np.asarray(lie.rotation_angle(dR))
+    trans = np.asarray(jnp.linalg.norm(dt, axis=-1))
+    return ang.max(), trans.max()
+
+
+def identity_pose(B):
+    return (jnp.broadcast_to(jnp.eye(3), (B, 3, 3)), jnp.zeros((B, 3)))
+
+
+def test_uic_level_converges(rng):
+    K, f0, f1, depth0, depth1, pose_gt = make_pair(rng)
+    invD0, invD1 = 1.0 / depth0, 1.0 / depth1
+    sigma = jnp.ones_like(f0)
+    pose = identity_pose(1)
+    a0, t0 = pose_error(pose, pose_gt)
+    pose, w, JtWJ = TR.tr_uic_level(
+        pose, f0, f1, invD0, invD1, K, sigma, sigma, max_iter=10
+    )
+    a1, t1 = pose_error(pose, pose_gt)
+    assert a1 < 0.3 * a0 + 1e-5
+    assert t1 < 0.3 * t0 + 1e-5
+    assert JtWJ.shape == (1, 6, 6)
+
+
+def test_ic_level_converges(rng):
+    K, f0, f1, depth0, depth1, pose_gt = make_pair(rng)
+    invD0, invD1 = 1.0 / depth0, 1.0 / depth1
+    pose = identity_pose(1)
+
+    def mest_ones(residual, x0, x1, w_prior):
+        return jnp.ones_like(residual)
+
+    solver = TR.DirectSolver(kind="nodamping", direction="inverse")
+    a0, t0 = pose_error(pose, pose_gt)
+    pose, w = TR.tr_ic_level(
+        pose, f0, f1, invD0, invD1, K, mest_ones, solver, max_iter=10
+    )
+    a1, t1 = pose_error(pose, pose_gt)
+    assert t1 < 0.5 * t0 + 1e-5
+
+
+def test_ufc_level_converges(rng):
+    K, f0, f1, depth0, depth1, pose_gt = make_pair(rng)
+    sigma = jnp.ones_like(f0)
+    pose = identity_pose(1)
+
+    def mest_ones(residual, x0, x1, w_prior):
+        return jnp.ones_like(residual)
+
+    solver = TR.DirectSolver(kind="nodamping", direction="forward")
+    a0, t0 = pose_error(pose, pose_gt)
+    pose, w = TR.tr_ufc_level(
+        pose, f0, f1, depth0, depth1, K, sigma, sigma, mest_ones, solver, max_iter=10
+    )
+    a1, t1 = pose_error(pose, pose_gt)
+    assert t1 < 0.5 * t0 + 1e-5
+
+
+def test_icp_level_converges_translation(rng):
+    """Pure-translation-z motion on a sloped surface is well-constrained for
+    point-to-plane ICP."""
+    B, H, W = 1, 48, 64
+    K = jnp.asarray([[40.0, 40.0, (W - 1) / 2.0, (H - 1) / 2.0]])
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    base = 2.0 + 0.25 * np.sin(xx / 9.0) + 0.2 * np.cos(yy / 7.0)
+    depth0 = jnp.asarray(base)[None, None]
+    # camera moves forward by 0.03 -> template->live transform has tz=-0.03
+    # (scene points get closer); depth1 ~ depth0 - 0.03 at ~the same pixels
+    # for this weakly-sloped surface.
+    t_gt = jnp.asarray([[0.0, 0.0, -0.03]])
+    R_gt = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    depth1 = depth0 - 0.03
+    pose = identity_pose(B)
+    a0, t0 = pose_error(pose, (R_gt, t_gt))
+    pose, w = TR.tr_icp_level(pose, depth0, depth1, K, max_iter=6)
+    a1, t1 = pose_error(pose, (R_gt, t_gt))
+    assert t1 < 0.4 * t0
+
+
+def test_uic_residual_decreases_with_better_pose(rng):
+    K, f0, f1, depth0, depth1, pose_gt = make_pair(rng)
+    invD0, invD1 = 1.0 / depth0, 1.0 / depth1
+    sigma = jnp.ones_like(f0)
+    loss_id = np.asarray(
+        TR.tr_uic_residual(identity_pose(1), f0, f1, invD0, invD1, K, sigma, sigma)
+    )
+    loss_gt = np.asarray(
+        TR.tr_uic_residual(pose_gt, f0, f1, invD0, invD1, K, sigma, sigma)
+    )
+    assert loss_gt < loss_id
+
+
+def test_resvol_solver_runs(rng):
+    """Direct-ResVol with a random damping MLP must run and return finite poses."""
+    K, f0, f1, depth0, depth1, pose_gt = make_pair(rng, H=30, W=40)
+    invD0, invD1 = 1.0 / depth0, 1.0 / depth1
+    pose = identity_pose(1)
+
+    def mest_ones(residual, x0, x1, w_prior):
+        return jnp.ones_like(residual)
+
+    def damping_mlp(x):  # [B, 96] -> [B,6] positive
+        return jnp.ones((x.shape[0], 6)) * 1e-3
+
+    solver = TR.DirectSolver(kind="resvol", direction="inverse", samples=10, damping_mlp=damping_mlp)
+    pose, w = TR.tr_ic_level(pose, f0, f1, invD0, invD1, K, mest_ones, solver, max_iter=2)
+    assert np.all(np.isfinite(np.asarray(pose[0])))
+    assert np.all(np.isfinite(np.asarray(pose[1])))
+
+
+def test_uic_combine_icp_runs(rng):
+    K, f0, f1, depth0, depth1, pose_gt = make_pair(rng, H=30, W=40)
+    invD0, invD1 = 1.0 / depth0, 1.0 / depth1
+    sigma = jnp.ones_like(f0)
+    pose = identity_pose(1)
+
+    def scale_fn(icp_res, feat_res, w_prior):
+        return jnp.ones_like(icp_res) * 0.01
+
+    pose, w, JtWJ = TR.tr_uic_level(
+        pose,
+        f0,
+        f1,
+        invD0,
+        invD1,
+        K,
+        sigma,
+        sigma,
+        depth0=depth0,
+        depth1=depth1,
+        scale_fn=scale_fn,
+        combine_icp=True,
+        max_iter=3,
+    )
+    assert np.all(np.isfinite(np.asarray(pose[1])))
+    assert w.shape == (1, 1, 30, 40)
+
+
+def test_uic_jit_compiles(rng):
+    import jax
+
+    K, f0, f1, depth0, depth1, pose_gt = make_pair(rng, H=24, W=32)
+    invD0, invD1 = 1.0 / depth0, 1.0 / depth1
+    sigma = jnp.ones_like(f0)
+
+    @jax.jit
+    def solve(pose_R, pose_t):
+        pose, w, _ = TR.tr_uic_level(
+            (pose_R, pose_t), f0, f1, invD0, invD1, K, sigma, sigma, max_iter=3
+        )
+        return pose
+
+    R, t = solve(*identity_pose(1))
+    assert np.all(np.isfinite(np.asarray(R)))

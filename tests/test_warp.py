@@ -1,0 +1,105 @@
+"""Warping / sampling tests.
+
+The bilinear sampler must match torch ``grid_sample(align_corners=True,
+padding_mode='border')`` bit-for-bit (the reference's sampling semantics,
+code/models/geometry.py:353-365) — verified here directly against torch CPU.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from deep_prob_feature_track_tpu.geometry import lie, warp
+
+
+def test_generate_xy_grid_values():
+    K = jnp.asarray([[100.0, 50.0, 8.0, 6.0]])
+    px, py = warp.generate_xy_grid(1, 12, 16, K)
+    assert px.shape == (1, 1, 12, 16)
+    np.testing.assert_allclose(np.asarray(px[0, 0, 0, 0]), (0 - 8.0) / 100.0)
+    np.testing.assert_allclose(np.asarray(px[0, 0, 0, 15]), (15 - 8.0) / 100.0)
+    np.testing.assert_allclose(np.asarray(py[0, 0, 11, 0]), (11 - 6.0) / 50.0)
+
+
+def test_warp_features_matches_torch_grid_sample(rng):
+    import torch
+    import torch.nn.functional as F
+
+    B, C, H, W = 2, 3, 13, 17
+    feats = rng.randn(B, C, H, W).astype(np.float32)
+    # coordinates including out-of-border values
+    u = rng.uniform(-3, W + 2, size=(B, 1, H, W)).astype(np.float32)
+    v = rng.uniform(-3, H + 2, size=(B, 1, H, W)).astype(np.float32)
+
+    ours = np.asarray(warp.warp_features(jnp.asarray(feats), jnp.asarray(u), jnp.asarray(v)))
+
+    tu = torch.from_numpy(u)
+    tv = torch.from_numpy(v)
+    u_n = tu / ((W - 1) / 2) - 1
+    v_n = tv / ((H - 1) / 2) - 1
+    grid = torch.cat((u_n.view(B, H, W, 1), v_n.view(B, H, W, 1)), dim=3)
+    ref = F.grid_sample(
+        torch.from_numpy(feats), grid, align_corners=True, mode="bilinear", padding_mode="border"
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_warp_identity(rng):
+    B, C, H, W = 1, 2, 8, 10
+    feats = rng.randn(B, C, H, W).astype(np.float32)
+    u = np.broadcast_to(np.arange(W, dtype=np.float32), (B, 1, H, W)).copy()
+    v = np.broadcast_to(np.arange(H, dtype=np.float32)[:, None], (B, 1, H, W)).copy()
+    out = np.asarray(warp.warp_features(jnp.asarray(feats), jnp.asarray(u), jnp.asarray(v)))
+    np.testing.assert_allclose(out, feats, atol=1e-6)
+
+
+def test_identity_pose_warp_is_identity(rng):
+    B, H, W = 2, 12, 16
+    K = jnp.asarray(np.tile([[52.5, 52.5, 8.0, 6.0]], (B, 1)).astype(np.float32))
+    px, py = warp.generate_xy_grid(B, H, W, K)
+    invD = jnp.asarray(rng.uniform(0.2, 2.0, size=(B, 1, H, W)).astype(np.float32))
+    R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    t = jnp.zeros((B, 3))
+    u, v, inv_z = warp.batch_warp_inverse_depth(px, py, invD, (R, t), K)
+    uu = np.broadcast_to(np.arange(W, dtype=np.float32), (B, 1, H, W))
+    vv = np.broadcast_to(np.arange(H, dtype=np.float32)[:, None], (B, 1, H, W))
+    np.testing.assert_allclose(np.asarray(u), uu, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v), vv, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(inv_z), np.asarray(invD), atol=1e-6)
+
+
+def test_warp_consistency_with_pointcloud(rng):
+    """Warping via inverse depth == project(transform(backproject(depth)))."""
+    B, H, W = 2, 10, 14
+    K = jnp.asarray(np.tile([[40.0, 42.0, 7.0, 5.0]], (B, 1)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0.5, 3.0, size=(B, 1, H, W)).astype(np.float32))
+    invD = 1.0 / depth
+    w = rng.randn(B, 3) * 0.05
+    R = lie.exp_so3(jnp.asarray(w))
+    t = jnp.asarray(rng.randn(B, 3) * 0.05)
+
+    px, py = warp.generate_xy_grid(B, H, W, K)
+    u1, v1, inv_z1 = warp.batch_warp_inverse_depth(px, py, invD, (R, t), K)
+
+    xyz = warp.batch_inverse_project(depth, K)
+    xyz_t = warp.batch_transform_xyz(xyz, R, t)
+    uv = warp.batch_project(xyz_t, K)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(uv[:, 0:1]), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(uv[:, 1:2]), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(inv_z1), np.asarray(1.0 / xyz_t[:, 2:3]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_check_occ_out_of_view():
+    B, H, W = 1, 6, 8
+    inv_z = jnp.ones((B, 1, H, W))
+    u = jnp.full((B, 1, H, W), -2.0)
+    v = jnp.full((B, 1, H, W), 3.0)
+    occ = warp.check_occ(inv_z, inv_z, u, v)
+    assert bool(np.all(np.asarray(occ)))
+
+
+def test_scale_K():
+    K = jnp.asarray([[400.0, 400.0, 160.0, 120.0]])
+    K3 = warp.scale_K(K, 3)
+    np.testing.assert_allclose(np.asarray(K3), np.asarray(K) / 8.0)
