@@ -1,0 +1,381 @@
+"""LeastSquareTracking facade: encoder + coarse-to-fine trust-region solver.
+
+TPU-native rewrite of ``code/models/LeastSquareTracking.py``: selects the
+encoder (RGB / ConvRGBD / ConvRGBD2 / ICP), the track type (IC / U_IC /
+U_FC / ICP) from (uncertainty_type, direction), runs preprocessing
+(inverse-depth truncation, color normalization, two-view feature pyramids,
+depth/mask pyramids, learned pose initialization) and the 4-level
+coarse-to-fine solve with per-level intrinsics ``K / 2^l`` and chained
+prior weights.  Training returns all per-level poses for deep supervision;
+eval returns the final pose (ref LeastSquareTracking.py:314-577).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry import warp as W
+from ..solvers import trust_region as TR
+from ..solvers.icp import ICPSigmaModel
+from .encoder import FeaturePyramid
+from .layers import color_normalize_nchw
+from .nets import DampingRegressor, DeepRobustEstimator, PoseNet, ScaleNet, SFMPoseNet
+
+Pose = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Typed configuration tree (replaces the reference's argparse groups,
+    code/config.py:7-103).  Defaults are the paper configuration
+    (scripts/eval_tum_rgbd.sh)."""
+
+    encoder_name: str = "ConvRGBD2"  # RGB | ConvRGBD | ConvRGBD2 | ICP
+    uncertainty_type: str = "laplacian"
+    direction: str = "inverse"  # inverse | forward
+    max_iter_per_pyr: int = 3
+    mest_type: str = "None"  # None | MultiScale2w
+    solver_type: str = "Direct-Nodamping"  # Direct-Nodamping | Direct-ResVol
+    tr_samples: int = 10
+    feature_channel: int = 8
+    uncertainty_channel: int = 1
+    feature_extract: str = "conv"  # 1by1 | conv | skip | average | prob_fuse
+    combine_icp: bool = False
+    scaler: str = "None"  # None | oneResidual | twoResidual | MultiScale2w | expMultiScale
+    scale_scaler: Optional[float] = None
+    remove_tru_sigma: bool = True
+    init_pose_type: str = "sfm_net"  # identity | sfm_net | dense_net
+    train_init_pose: bool = True
+    scale_init_pose: float = 0.01
+    multi_hypo: str = "prob_fuse"  # None | average | prob_fuse
+    res_input: bool = False
+    uncer_prop: bool = False
+    no_weight_sharing: bool = False
+    scale_icp: float = 0.01
+
+    @property
+    def track_type(self) -> str:
+        """Track selection (ref LeastSquareTracking.py:195-293)."""
+        if self.uncertainty_type == "ICP":
+            return "ICP"
+        if self.uncertainty_type == "None" and self.direction == "inverse":
+            return "IC"
+        if self.uncertainty_type != "None" and self.direction == "forward":
+            return "U_FC"
+        if self.uncertainty_type != "None" and self.direction == "inverse":
+            return "U_IC"
+        raise ValueError("unsupported (uncertainty, direction) combination")
+
+    @property
+    def predicts_init_pose(self) -> bool:
+        return self.init_pose_type != "identity"
+
+
+class LeastSquareTracking(nn.Module):
+    """Deep probabilistic feature-metric tracker (flax module).
+
+    ``__call__(img0, img1, depth0, depth1, K)`` -> pose (eval) or stacked
+    per-level poses (train).
+    """
+
+    cfg: TrackerConfig = TrackerConfig()
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        n_instances = 4 if cfg.no_weight_sharing else 1
+
+        if cfg.encoder_name in ("ConvRGBD", "ConvRGBD2"):
+            self.encoder = FeaturePyramid(
+                feature_channel=cfg.feature_channel,
+                uncertainty_channel=cfg.uncertainty_channel,
+                feature_extract=cfg.feature_extract,
+                uncertainty_type=cfg.uncertainty_type,
+                dtype=self.dtype,
+            )
+        else:
+            self.encoder = None
+
+        self.mests = [
+            DeepRobustEstimator(cfg.mest_type, dtype=self.dtype)
+            for _ in range(n_instances)
+        ]
+        self.scalers = [
+            ScaleNet(
+                cfg.scaler,
+                scale=cfg.scale_scaler if cfg.scale_scaler is not None else 0.01,
+                dtype=self.dtype,
+            )
+            for _ in range(n_instances)
+        ]
+        if cfg.solver_type == "Direct-ResVol":
+            self.damping_nets = [DampingRegressor(dtype=self.dtype) for _ in range(n_instances)]
+        else:
+            self.damping_nets = None
+
+        if cfg.predicts_init_pose:
+            if cfg.init_pose_type == "sfm_net":
+                self.pose_predictor = SFMPoseNet(
+                    scale_motion=cfg.scale_init_pose,
+                    multi_hypo=cfg.multi_hypo,
+                    res_input=cfg.res_input,
+                    dtype=self.dtype,
+                )
+            elif cfg.init_pose_type == "dense_net":
+                self.pose_predictor = PoseNet(
+                    scale_motion=cfg.scale_init_pose, dtype=self.dtype
+                )
+            else:
+                raise ValueError(cfg.init_pose_type)
+        else:
+            self.pose_predictor = None
+
+    # ------------------------------------------------------------------
+    def _instance(self, modules, level: int):
+        return modules[level] if self.cfg.no_weight_sharing else modules[0]
+
+    def _solver(self, level: int) -> TR.DirectSolver:
+        cfg = self.cfg
+        if cfg.solver_type == "Direct-ResVol":
+            net = self._instance(self.damping_nets, level)
+            return TR.DirectSolver(
+                kind="resvol",
+                direction=cfg.direction,
+                samples=cfg.tr_samples,
+                damping_mlp=net,
+            )
+        return TR.DirectSolver(kind="nodamping", direction=cfg.direction)
+
+    def _encode(self, I0, invD0, I1, invD1, train: bool):
+        """Per-frame feature/uncertainty pyramids (ref :579-597)."""
+        from ..ops.image import image_pyramid
+
+        cfg = self.cfg
+        if cfg.encoder_name in ("RGB", "ICP"):
+            gray = (
+                I0[:, 0] * 0.299 + I0[:, 1] * 0.587 + I0[:, 2] * 0.114
+            )[:, None]
+            x = image_pyramid(gray)
+            sigma = [jnp.ones_like(a) for a in x]
+            return x, sigma, x
+        if cfg.encoder_name == "ConvRGBD":
+            m = jnp.concatenate([I0, invD0], axis=1)
+        else:  # ConvRGBD2
+            m = jnp.concatenate([I0, invD0, I1, invD1], axis=1)
+        return self.encoder(m, train=train)
+
+    def _preprocess(
+        self, img0, img1, depth0, depth1, pose_init, obj_mask0, obj_mask1, train: bool
+    ):
+        """Input conditioning (ref LeastSquareTracking.py:653-699)."""
+        from ..ops.image import image_pyramid
+
+        cfg = self.cfg
+        invD0 = jnp.clip(1.0 / depth0, 0.0, 10.0)
+        invD1 = jnp.clip(1.0 / depth1, 0.0, 10.0)
+        # zero out truncated inverse depths (tensor-global min/max, matching
+        # the reference's boolean-indexed assignment :656-661)
+        invD0 = jnp.where((invD0 == invD0.min()) | (invD0 == invD0.max()), 0.0, invD0)
+        invD1 = jnp.where((invD1 == invD1.min()) | (invD1 == invD1.max()), 0.0, invD1)
+
+        I0 = color_normalize_nchw(img0)
+        I1 = color_normalize_nchw(img1)
+
+        x0, sigma0, raw0 = self._encode(I0, invD0, I1, invD1, train)
+        x1, sigma1, raw1 = self._encode(I1, invD1, I0, invD0, train)
+        inv_d0 = image_pyramid(invD0, pool="max")
+        inv_d1 = image_pyramid(invD1, pool="max")
+
+        need_depth = cfg.track_type in ("U_FC", "ICP") or cfg.combine_icp
+        dpt0_pyr = image_pyramid(depth0, pool="max") if need_depth else [None] * 4
+        dpt1_pyr = image_pyramid(depth1, pool="max") if need_depth else [None] * 4
+        m0_pyr = image_pyramid(obj_mask0) if obj_mask0 is not None else [None] * 4
+        m1_pyr = image_pyramid(obj_mask1) if obj_mask1 is not None else [None] * 4
+
+        if pose_init is None:
+            if cfg.predicts_init_pose:
+                R0, t0 = self.pose_predictor(raw0[3], raw1[3], train=train)
+            else:
+                B = invD0.shape[0]
+                R0 = jnp.broadcast_to(jnp.eye(3, dtype=self.dtype), (B, 3, 3))
+                t0 = jnp.zeros((B, 3), dtype=self.dtype)
+            pose_init = (R0, t0)
+
+        return (x0, x1, sigma0, sigma1, dpt0_pyr, dpt1_pyr, inv_d0, inv_d1, m0_pyr, m1_pyr, pose_init)
+
+    def _level_update(
+        self, level, pose, x0, x1, sigma0, sigma1, inv_d0, inv_d1,
+        dpt0, dpt1, K_l, w_prior, m0, m1, train: bool,
+    ):
+        """Dispatch one pyramid level to the configured track."""
+        cfg = self.cfg
+        tt = cfg.track_type
+        if tt == "U_IC":
+            mest = self._instance(self.scalers, level)
+
+            def scale_fn(icp_res, feat_res, wp):
+                return mest(icp_res, feat_res, wp, train=train)
+
+            pose, weights, JtWJ = TR.tr_uic_level(
+                pose, x0, x1, inv_d0, inv_d1, K_l, sigma0, sigma1,
+                w_prior=w_prior, depth0=dpt0, depth1=dpt1,
+                obj_mask0=m0, obj_mask1=m1,
+                scale_fn=scale_fn,
+                max_iter=cfg.max_iter_per_pyr,
+                remove_tru_sigma=cfg.remove_tru_sigma,
+                combine_icp=cfg.combine_icp,
+            )
+            return pose, weights, JtWJ
+        if tt == "IC":
+            mest = self._instance(self.mests, level)
+
+            def mest_fn(res, f0, f1, wp):
+                return mest(res, f0, f1, wp, train=train)
+
+            pose, weights = TR.tr_ic_level(
+                pose, x0, x1, inv_d0, inv_d1, K_l, mest_fn, self._solver(level),
+                w_prior=w_prior, obj_mask0=m0, obj_mask1=m1,
+                max_iter=cfg.max_iter_per_pyr,
+            )
+            return pose, weights, None
+        if tt == "U_FC":
+            mest = self._instance(self.mests, level)
+
+            def mest_fn(res, f0, f1, wp):
+                return mest(res, f0, f1, wp, train=train)
+
+            pose, weights = TR.tr_ufc_level(
+                pose, x0, x1, dpt0, dpt1, K_l, sigma0, sigma1,
+                mest_fn, self._solver(level), w_prior=w_prior, obj_mask1=m1,
+                max_iter=cfg.max_iter_per_pyr,
+            )
+            return pose, weights, None
+        if tt == "ICP":
+            pose, weights = TR.tr_icp_level(
+                pose, dpt0, dpt1, K_l, w_prior=w_prior, obj_mask1=m1,
+                max_iter=cfg.max_iter_per_pyr, direction=cfg.direction,
+                sigma_model=ICPSigmaModel(baseline=1.0),
+            )
+            return pose, weights, None
+        raise ValueError(tt)
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        img0,
+        img1,
+        depth0,
+        depth1,
+        K,
+        obj_mask0=None,
+        obj_mask1=None,
+        train: bool = False,
+    ):
+        """Full coarse-to-fine tracking (ref LeastSquareTracking.py:314-577).
+
+        :param img0/img1: [B,3,H,W] RGB in [0,1]
+        :param depth0/depth1: [B,1,H,W] metric depth
+        :param K: [B,4] intrinsics [fx,fy,cx,cy]
+        :return: eval: final pose (R, t); train: (pyr_R [B,N,3,3],
+            pyr_t [B,N,3][, sigma_ksi [B,N,6,6]])
+        """
+        cfg = self.cfg
+        (x0, x1, sigma0, sigma1, dpt0_pyr, dpt1_pyr, inv_d0, inv_d1, m0_pyr, m1_pyr, pose) = (
+            self._preprocess(img0, img1, depth0, depth1, None, obj_mask0, obj_mask1, train)
+        )
+
+        poses_R: List[jnp.ndarray] = []
+        poses_t: List[jnp.ndarray] = []
+        sigma_ksi: List[jnp.ndarray] = []
+        if cfg.predicts_init_pose and cfg.train_init_pose:
+            poses_R.append(pose[0])
+            poses_t.append(pose[1])
+            if cfg.uncer_prop:
+                B = inv_d0[0].shape[0]
+                sigma_ksi.append(jnp.broadcast_to(jnp.eye(6, dtype=self.dtype), (B, 6, 6)))
+
+        w_prior = jnp.ones_like(inv_d0[3]) * 0.001
+        for level in (3, 2, 1, 0):
+            K_l = W.scale_K(K, level)
+            pose, w_prior, JtWJ = self._level_update(
+                level, pose, x0[level], x1[level], sigma0[level], sigma1[level],
+                inv_d0[level], inv_d1[level], dpt0_pyr[level], dpt1_pyr[level],
+                K_l, w_prior, m0_pyr[level], m1_pyr[level], train,
+            )
+            poses_R.append(pose[0])
+            poses_t.append(pose[1])
+            if cfg.uncer_prop:
+                sigma_ksi.append(JtWJ)
+
+        if train:
+            pyr_R = jnp.stack(poses_R, axis=1)
+            pyr_t = jnp.stack(poses_t, axis=1)
+            if cfg.uncer_prop:
+                return pyr_R, pyr_t, jnp.stack(sigma_ksi, axis=1)
+            return pyr_R, pyr_t
+        return pose
+
+    def compute_residual(
+        self,
+        img0,
+        img1,
+        depth0,
+        depth1,
+        K,
+        pose_init: Optional[Pose] = None,
+        level: int = 0,
+        obj_mask0=None,
+        obj_mask1=None,
+    ):
+        """Average residual at a given pose & level (convergence-basin study,
+        ref LeastSquareTracking.py:605-651).
+
+        :return: (pose, avg_residual [B])
+        """
+        cfg = self.cfg
+        (x0, x1, sigma0, sigma1, dpt0_pyr, dpt1_pyr, inv_d0, inv_d1, m0_pyr, m1_pyr, pose) = (
+            self._preprocess(img0, img1, depth0, depth1, pose_init, obj_mask0, obj_mask1, False)
+        )
+        i = level
+        K_i = W.scale_K(K, i)
+        w_prior = jnp.ones_like(inv_d0[i]) * 0.01
+        tt = cfg.track_type
+        if tt == "U_IC":
+            scaler = self._instance(self.scalers, i)
+
+            def scale_fn(icp_res, feat_res, wp):
+                return scaler(icp_res, feat_res, wp)
+
+            loss = TR.tr_uic_residual(
+                pose, x0[i], x1[i], inv_d0[i], inv_d1[i], K_i, sigma0[i], sigma1[i],
+                w_prior=w_prior, depth0=dpt0_pyr[i], depth1=dpt1_pyr[i],
+                obj_mask0=m0_pyr[i], obj_mask1=m1_pyr[i], scale_fn=scale_fn,
+                remove_tru_sigma=cfg.remove_tru_sigma, combine_icp=cfg.combine_icp,
+            )
+        elif tt == "IC":
+            mest = self._instance(self.mests, i)
+            w_prior = jnp.ones_like(inv_d0[i])
+
+            def mest_fn(res, f0, f1, wp):
+                return mest(res, f0, f1, wp)
+
+            loss = TR.tr_ic_residual(
+                pose, x0[i], x1[i], inv_d0[i], inv_d1[i], K_i, mest_fn,
+                w_prior=w_prior, obj_mask0=m0_pyr[i], obj_mask1=m1_pyr[i],
+            )
+        elif tt == "U_FC":
+            loss = TR.tr_ufc_residual(
+                pose, x0[i], x1[i], dpt0_pyr[i], dpt1_pyr[i], K_i, sigma0[i], sigma1[i],
+            )
+        elif tt == "ICP":
+            loss = TR.tr_icp_residual(
+                pose, dpt0_pyr[i], dpt1_pyr[i], K_i,
+                sigma_model=ICPSigmaModel(baseline=1.0),
+            )
+        else:
+            raise ValueError(tt)
+        return pose, loss

@@ -1,0 +1,101 @@
+"""Facade-level tests: init + forward of every preset on small inputs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deep_prob_feature_track_tpu.models.presets import PRESETS, get_preset
+from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
+
+
+def make_inputs(rng, B=2, H=32, W=40):
+    img0 = jnp.asarray(rng.rand(B, 3, H, W).astype(np.float32))
+    img1 = jnp.asarray(rng.rand(B, 3, H, W).astype(np.float32))
+    depth0 = jnp.asarray(rng.uniform(0.5, 3.0, (B, 1, H, W)).astype(np.float32))
+    depth1 = jnp.asarray(rng.uniform(0.5, 3.0, (B, 1, H, W)).astype(np.float32))
+    K = jnp.asarray(
+        np.tile([[0.6 * W, 0.6 * W, (W - 1) / 2.0, (H - 1) / 2.0]], (B, 1)).astype(np.float32)
+    )
+    return img0, img1, depth0, depth1, K
+
+
+@pytest.mark.parametrize("preset", sorted(PRESETS))
+def test_preset_forward_eval(rng, preset):
+    cfg = get_preset(preset)
+    net = LeastSquareTracking(cfg=cfg)
+    inputs = make_inputs(rng)
+    variables = net.init(jax.random.PRNGKey(0), *inputs, train=False)
+    R, t = net.apply(variables, *inputs, train=False)
+    assert R.shape == (2, 3, 3)
+    assert t.shape == (2, 3)
+    assert np.all(np.isfinite(np.asarray(R)))
+    assert np.all(np.isfinite(np.asarray(t)))
+    # R should be a rotation
+    RtR = np.asarray(R) @ np.swapaxes(np.asarray(R), 1, 2)
+    np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-3)
+
+
+def test_feature_preset_train_outputs(rng):
+    cfg = get_preset("feature")
+    net = LeastSquareTracking(cfg=cfg)
+    inputs = make_inputs(rng)
+    variables = net.init(jax.random.PRNGKey(0), *inputs, train=False)
+    out, mutated = net.apply(
+        variables, *inputs, train=True, mutable=["batch_stats"]
+    )
+    pyr_R, pyr_t = out
+    # init pose + 4 levels = 5 supervised poses
+    assert pyr_R.shape == (2, 5, 3, 3)
+    assert pyr_t.shape == (2, 5, 3)
+    assert "batch_stats" in mutated
+
+
+def test_uncer_prop_outputs(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(get_preset("feature"), uncer_prop=True)
+    net = LeastSquareTracking(cfg=cfg)
+    inputs = make_inputs(rng)
+    variables = net.init(jax.random.PRNGKey(0), *inputs, train=False)
+    (pyr_R, pyr_t, sigma_ksi), _ = net.apply(
+        variables, *inputs, train=True, mutable=["batch_stats"]
+    )
+    assert sigma_ksi.shape == (2, 5, 6, 6)
+
+
+def test_compute_residual(rng):
+    cfg = get_preset("feature")
+    net = LeastSquareTracking(cfg=cfg)
+    inputs = make_inputs(rng)
+    variables = net.init(jax.random.PRNGKey(0), *inputs, train=False)
+    pose, loss = net.apply(
+        variables, *inputs, level=1, method=LeastSquareTracking.compute_residual
+    )
+    assert loss.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(loss)))
+
+
+def test_object_masks(rng):
+    cfg = get_preset("feature")
+    net = LeastSquareTracking(cfg=cfg)
+    img0, img1, depth0, depth1, K = make_inputs(rng)
+    m0 = jnp.asarray(rng.rand(2, 1, 32, 40) > 0.3)
+    m1 = jnp.asarray(rng.rand(2, 1, 32, 40) > 0.3)
+    variables = net.init(jax.random.PRNGKey(0), img0, img1, depth0, depth1, K, train=False)
+    R, t = net.apply(
+        variables, img0, img1, depth0, depth1, K, obj_mask0=m0, obj_mask1=m1, train=False
+    )
+    assert np.all(np.isfinite(np.asarray(t)))
+
+
+def test_param_count_feature_preset(rng):
+    """The paper encoder should have a plausible parameter count (sanity
+    check against silent architecture drift)."""
+    cfg = get_preset("feature")
+    net = LeastSquareTracking(cfg=cfg)
+    inputs = make_inputs(rng)
+    variables = net.init(jax.random.PRNGKey(0), *inputs, train=False)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    # encoder (~1M) + sfm posenet (~1.4M); guard order of magnitude
+    assert 1_000_000 < n < 5_000_000, n
