@@ -1,0 +1,60 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(code/train.py:295-298).  Here scale-out is mesh-based: a ``jax.sharding``
+Mesh over ICI/DCN with named axes, batch arrays sharded over 'data', and
+parameters replicated.  XLA inserts the gradient all-reduce (and the
+cross-replica batch-norm reductions) automatically from the shardings, so
+the train step contains no hand-written collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the given (default: all) devices.
+
+    :param shape: per-axis sizes; default puts every device on the first axis
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
+    """Device-put array leaves of a batch dict with the batch sharding.
+
+    In multi-process runs use
+    ``jax.make_array_from_process_local_data`` instead (the per-host
+    pipeline already shards via BatchLoader(num_shards=...)).
+    """
+    sharding = batch_sharding(mesh, axis)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1:
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = v
+    return out

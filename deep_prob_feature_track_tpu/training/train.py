@@ -1,0 +1,232 @@
+"""Training driver: optax Adam + multi-step schedule, mesh-sharded step.
+
+TPU-native rewrite of ``code/train.py``: the epoch loop, the EPE3D/RPE/
+uncertainty loss selection (train.py:166-178), grad-norm clip 5.0
+(:189), Adam(lr 5e-4, wd 4e-4) with x0.5 decay at epochs {5,10,20}
+(config.py:141-191, train_utils.py:42-63) — but data parallelism is a
+sharded jit over a device Mesh instead of ``nn.DataParallel``, with
+cross-replica gradient reduction and batch-norm statistics handled by XLA
+from the sharding annotations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from .. import losses
+from ..models.tracker import LeastSquareTracking, TrackerConfig
+from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    loss: str = "EPE3D"  # EPE3D | RPE | URPE | UEPE3D
+    lr: float = 5e-4
+    lr_decay_ratio: float = 0.5
+    lr_decay_epochs: Tuple[int, ...] = (5, 10, 20)
+    weight_decay: float = 4e-4
+    grad_clip: float = 5.0
+    epochs: int = 30
+    batch_size: int = 64
+    opt: str = "adam"  # adam | sgd
+
+
+def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
+    """MultiStepLR: lr * ratio^k after each decay epoch (ref config.py:186-191)."""
+    boundaries = {
+        int(e * steps_per_epoch): cfg.lr_decay_ratio for e in cfg.lr_decay_epochs
+    }
+    return optax.piecewise_constant_schedule(cfg.lr, boundaries)
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    """clip(5.0) -> +wd*param -> adam moments -> lr (torch Adam semantics:
+    L2 folded into the gradient, ref train_utils.py:52-55, train.py:189)."""
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    if cfg.opt == "adam":
+        scaler = optax.scale_by_adam()
+    elif cfg.opt == "sgd":
+        scaler = optax.trace(decay=0.9)
+    else:
+        raise ValueError(cfg.opt)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.add_decayed_weights(cfg.weight_decay),
+        scaler,
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+def compute_loss(
+    net: LeastSquareTracking,
+    train_cfg: TrainConfig,
+    params,
+    batch_stats,
+    batch: Dict[str, jnp.ndarray],
+):
+    """Forward + loss for one batch (ref train.py:134-178).
+
+    Batch keys: color0/1, depth0/1, calib, transform [B,4,4], pad_mask [B],
+    optional obj_mask0/1.
+    """
+    variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = {}
+    if "obj_mask0" in batch:
+        kwargs["obj_mask0"] = batch["obj_mask0"]
+        kwargs["obj_mask1"] = batch["obj_mask1"]
+    out, mutated = net.apply(
+        variables,
+        batch["color0"],
+        batch["color1"],
+        batch["depth0"],
+        batch["depth1"],
+        batch["calib"],
+        train=True,
+        mutable=["batch_stats"],
+        **kwargs,
+    )
+    R_gt = batch["transform"][:, :3, :3]
+    t_gt = batch["transform"][:, :3, 3]
+    invalid = batch.get("obj_mask0")
+    if invalid is not None:
+        invalid = ~invalid  # loss only on the object (ref train.py:141-151)
+
+    if net.cfg.uncer_prop:
+        pyr_R, pyr_t, sigma_ksi = out
+    else:
+        pyr_R, pyr_t = out
+        sigma_ksi = None
+
+    if train_cfg.loss == "EPE3D":
+        per_sample = losses.compute_rt_epe_loss(
+            pyr_R, pyr_t, R_gt, t_gt, batch["depth0"], batch["calib"], invalid=invalid
+        )
+    elif train_cfg.loss == "RPE":
+        ang, trs = losses.compute_rpe_loss(pyr_R, pyr_t, R_gt, t_gt)
+        per_sample = jnp.broadcast_to(ang + trs, pyr_R.shape[:1])
+    elif train_cfg.loss == "URPE":
+        inv_var = sigma_ksi
+        total = losses.compute_rpe_uncertainty_loss(pyr_R, pyr_t, R_gt, t_gt, inv_var)
+        per_sample = jnp.broadcast_to(total / pyr_R.shape[0], pyr_R.shape[:1])
+    elif train_cfg.loss == "UEPE3D":
+        from ..ops.solver6 import lev_mar_damp
+
+        sigma = jnp.linalg.inv(lev_mar_damp(sigma_ksi.reshape(-1, 6, 6))).reshape(
+            sigma_ksi.shape
+        )
+        nll, epe = losses.compute_rt_epe_uncertainty_loss(
+            pyr_R, pyr_t, R_gt, t_gt, batch["depth0"], batch["calib"], sigma, invalid=invalid
+        )
+        per_sample = nll
+    else:
+        raise ValueError(train_cfg.loss)
+
+    mask = batch.get("pad_mask")
+    if mask is None:
+        loss = jnp.mean(per_sample)
+    else:
+        loss = jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1)
+    return loss, mutated["batch_stats"]
+
+
+def make_train_step(
+    net: LeastSquareTracking, train_cfg: TrainConfig, optimizer, mesh=None
+) -> Callable:
+    """Build the jitted (and mesh-sharded, if given) train step."""
+
+    def step_fn(state: TrainState, batch):
+        def loss_fn(params):
+            return compute_loss(net, train_cfg, params, state.batch_stats, batch)
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def create_train_state(
+    net: LeastSquareTracking,
+    optimizer,
+    example_batch: Dict[str, np.ndarray],
+    seed: int = 1,
+) -> TrainState:
+    variables = net.init(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(example_batch["color0"]),
+        jnp.asarray(example_batch["color1"]),
+        jnp.asarray(example_batch["depth0"]),
+        jnp.asarray(example_batch["depth1"]),
+        jnp.asarray(example_batch["calib"]),
+        train=False,
+    )
+    params = variables.get("params", {})  # e.g. the RGB preset is param-free
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+    )
+
+
+def train_epoch(
+    train_step,
+    state: TrainState,
+    loader,
+    mesh=None,
+    log_every: int = 10,
+    logger=None,
+) -> Tuple[TrainState, float]:
+    """One epoch over the loader; returns (state, mean loss)."""
+    total, count = 0.0, 0
+    t0 = time.time()
+    for i, batch in enumerate(loader):
+        batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        state, metrics = train_step(state, batch)
+        loss = float(metrics["loss"])
+        total += loss
+        count += 1
+        if logger is not None and i % log_every == 0:
+            logger.scalar("train/loss", loss, int(state.step))
+            logger.scalar(
+                "train/steps_per_sec", (i + 1) / (time.time() - t0), int(state.step)
+            )
+    return state, total / max(count, 1)

@@ -1,0 +1,90 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from deep_prob_feature_track_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    shard_batch,
+)
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("data",)
+    mesh2 = make_mesh(axis_names=("data", "model"), shape=(4, 2))
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_shard_batch_places_on_devices(rng):
+    mesh = make_mesh()
+    batch = {"x": rng.rand(8, 3).astype(np.float32), "meta": [1, 2]}
+    out = shard_batch(mesh, batch)
+    assert out["x"].sharding == batch_sharding(mesh)
+    # each device holds 1/8 of the batch
+    assert out["x"].addressable_shards[0].data.shape == (1, 3)
+    assert out["meta"] == [1, 2]
+
+
+def test_dryrun_multichip_entrypoints():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    R, t = jax.jit(fn)(*args)
+    assert R.shape == (1, 3, 3)
+    assert np.all(np.isfinite(np.asarray(t)))
+
+
+def test_sharded_train_matches_single_device(rng):
+    """DP-sharded training step must produce the same update as unsharded."""
+    from deep_prob_feature_track_tpu.models.presets import get_preset
+    from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
+    from deep_prob_feature_track_tpu.training.train import (
+        TrainConfig,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from tests.test_training import synthetic_batch
+
+    net = LeastSquareTracking(cfg=get_preset("RGB"))
+    tcfg = TrainConfig()
+    opt = make_optimizer(tcfg, steps_per_epoch=10)
+    batch = synthetic_batch(rng, B=8, H=16, W=20)
+    state0 = create_train_state(net, opt, batch)
+
+    step_single = make_train_step(net, tcfg, opt)
+    _, m_single = step_single(state0, batch)
+
+    mesh = make_mesh()
+    step_sharded = make_train_step(net, tcfg, opt, mesh=mesh)
+    state1 = create_train_state(net, opt, batch)
+    _, m_sharded = step_sharded(state1, shard_batch(mesh, batch))
+
+    # cross-device reductions reassociate float32 sums; the 12 unrolled GN
+    # solves amplify that slightly, so compare with a loose tolerance
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_sharded["loss"]), rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        float(m_single["grad_norm"]), float(m_sharded["grad_norm"]), rtol=2e-2
+    )

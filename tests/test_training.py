@@ -1,0 +1,113 @@
+"""Training-step tests: loss decreases, checkpoint round-trip, schedules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deep_prob_feature_track_tpu.models.presets import get_preset
+from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
+from deep_prob_feature_track_tpu.training import checkpoints
+from deep_prob_feature_track_tpu.training.train import (
+    TrainConfig,
+    compute_loss,
+    create_train_state,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def synthetic_batch(rng, B=2, H=32, W=40):
+    K = np.tile([[0.6 * W, 0.6 * W, (W - 1) / 2.0, (H - 1) / 2.0]], (B, 1)).astype(
+        np.float32
+    )
+    T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    T[:, :3, 3] = rng.randn(B, 3) * 0.01
+    return {
+        "color0": rng.rand(B, 3, H, W).astype(np.float32),
+        "color1": rng.rand(B, 3, H, W).astype(np.float32),
+        "depth0": rng.uniform(0.5, 3.0, (B, 1, H, W)).astype(np.float32),
+        "depth1": rng.uniform(0.5, 3.0, (B, 1, H, W)).astype(np.float32),
+        "calib": K,
+        "transform": T,
+        "pad_mask": np.ones((B,), bool),
+    }
+
+
+def test_lr_schedule():
+    cfg = TrainConfig(lr=4e-4, lr_decay_epochs=(2, 4))
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    np.testing.assert_allclose(float(sched(0)), 4e-4)
+    np.testing.assert_allclose(float(sched(25)), 2e-4)
+    np.testing.assert_allclose(float(sched(45)), 1e-4)
+
+
+def test_train_step_reduces_loss(rng):
+    cfg = get_preset("feature")
+    net = LeastSquareTracking(cfg=cfg)
+    tcfg = TrainConfig(lr=1e-3)
+    opt = make_optimizer(tcfg, steps_per_epoch=10)
+    batch = synthetic_batch(rng)
+    state = create_train_state(net, opt, batch)
+    step = make_train_step(net, tcfg, opt)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(metrics["grad_norm"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_loss_variants_finite(rng):
+    import dataclasses
+
+    batch = synthetic_batch(rng)
+    for loss_name in ("EPE3D", "RPE", "UEPE3D", "URPE"):
+        cfg = get_preset("feature")
+        if loss_name in ("UEPE3D", "URPE"):
+            cfg = dataclasses.replace(cfg, uncer_prop=True)
+        net = LeastSquareTracking(cfg=cfg)
+        variables = net.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(batch["color0"]),
+            jnp.asarray(batch["color1"]),
+            jnp.asarray(batch["depth0"]),
+            jnp.asarray(batch["depth1"]),
+            jnp.asarray(batch["calib"]),
+            train=False,
+        )
+        loss, stats = compute_loss(
+            net,
+            TrainConfig(loss=loss_name),
+            variables["params"],
+            variables["batch_stats"],
+            {k: jnp.asarray(v) for k, v in batch.items()},
+        )
+        assert np.isfinite(float(loss)), loss_name
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    cfg = get_preset("feature")
+    net = LeastSquareTracking(cfg=cfg)
+    tcfg = TrainConfig()
+    opt = make_optimizer(tcfg, steps_per_epoch=10)
+    batch = synthetic_batch(rng)
+    state = create_train_state(net, opt, batch)
+    step = make_train_step(net, tcfg, opt)
+    state, _ = step(state, batch)
+
+    path = str(tmp_path / "ckpt.msgpack")
+    checkpoints.save_train_state(path, state)
+
+    fresh = create_train_state(net, opt, batch)
+    restored = checkpoints.restore_train_state(path, fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too (the reference dropped it; we must not)
+    for a, b in zip(
+        jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
