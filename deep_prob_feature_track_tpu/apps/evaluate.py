@@ -1,0 +1,124 @@
+"""Evaluation CLI (rewrite of ``code/evaluate.py``).
+
+Usage::
+
+    python -m deep_prob_feature_track_tpu.apps.evaluate \
+        --dataset TUM_RGBD --data_root /path/to/tum \
+        --preset feature --checkpoint ckpt.msgpack --keyframes 1,2,4,8
+
+Evaluates per (trajectory x keyframe), dumps per-frame pickles, prints and
+saves the cm/deg summary CSV.  ``--tracker ICP`` runs the non-learned ICP
+baseline through the same duck-typed interface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="Evaluate two-view tracking")
+    p.add_argument("--dataset", default="TUM_RGBD",
+                   choices=("TUM_RGBD", "MovingObjects3D", "ScanNet", "VaryLighting"))
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--preset", default="feature")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--keyframes", default="1,2,4,8")
+    p.add_argument("--trajectory", default="")
+    p.add_argument("--eval_set", default="test", choices=("test", "validation"))
+    p.add_argument("--image_resize", type=float, default=0.25)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--tracker", default="learning_based",
+                   choices=("learning_based", "ICP", "RGB"))
+    p.add_argument("--obj_only", action="store_true")
+    p.add_argument("--output_dir", default="test_results")
+    p.add_argument("--time", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import jax
+    import numpy as np
+
+    from ..evaluation import create_eval_loaders, evaluate_two_view, summarize_results
+    from ..models.presets import get_preset
+    from ..models.tracker import LeastSquareTracking
+    from ..utils.timers import Timers
+
+    keyframes = [int(k) for k in args.keyframes.split(",")]
+    has_mask = args.dataset not in ("TUM_RGBD", "VaryLighting")
+    timers = Timers(block=True) if args.time else None
+
+    loaders = create_eval_loaders(
+        args.dataset, args.eval_set, keyframes, args.batch_size,
+        trajectory=args.trajectory, image_resize=args.image_resize,
+        root=args.data_root,
+    )
+
+    if args.tracker == "learning_based":
+        preset = args.preset
+    elif args.tracker == "ICP":
+        preset = "ICP"
+    else:
+        preset = "RGB"
+    net = LeastSquareTracking(cfg=get_preset(preset))
+
+    # init / load weights
+    first_loader = next(iter(loaders.values()))
+    example = next(iter(first_loader))
+    import jax.numpy as jnp
+
+    ex_args = tuple(
+        jnp.asarray(example[k]) for k in ("color0", "color1", "depth0", "depth1", "calib")
+    )
+    if args.checkpoint:
+        from ..training.checkpoints import restore_variables
+
+        raw = restore_variables(args.checkpoint)
+        # accept either a bare variables dict or a full TrainState dump
+        if "params" in raw and "batch_stats" in raw:
+            variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+        else:
+            variables = raw
+        ckpt_name = os.path.basename(args.checkpoint).replace(".msgpack", "")
+    else:
+        print("[evaluate] no checkpoint: random init (non-learned presets unaffected)")
+        variables = net.init(jax.random.PRNGKey(0), *ex_args, train=False)
+        ckpt_name = f"nolearning_{preset}"
+
+    @jax.jit
+    def forward(c0, c1, d0, d1, K, obj_mask0=None, obj_mask1=None):
+        return net.apply(
+            variables, c0, c1, d0, d1, K,
+            obj_mask0=obj_mask0, obj_mask1=obj_mask1, train=False,
+        )
+
+    results = {}
+    for key, loader in loaders.items():
+        info = evaluate_two_view(
+            loader, forward, has_mask=has_mask, obj_only=args.obj_only, timers=timers
+        )
+        results[key] = info
+        print(
+            f"{key}: EPE3D={info['epes'].mean() * 100:.3f}cm  "
+            f"axis={np.degrees(info['angular_error'].mean()):.4f}deg  "
+            f"trans={info['translation_error'].mean() * 100:.3f}cm  "
+            f"({info['epes'].shape[0]} frames)"
+        )
+
+    out_dir = os.path.join(args.output_dir, ckpt_name)
+    df = summarize_results(
+        results, keyframes,
+        output_csv=os.path.join(out_dir, "summary.csv"),
+        dump_dir=out_dir,
+    )
+    print(df)
+    if timers:
+        timers.print()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

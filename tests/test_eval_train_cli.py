@@ -1,0 +1,108 @@
+"""End-to-end CLI tests: evaluate + train drivers on a tiny TUM-format
+fixture built from the 5 in-repo sample frames."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+SAMPLES = "/root/reference/code/data/data_examples/TUM"
+
+
+@pytest.fixture(scope="module")
+def tum_fixture(tmp_path_factory):
+    """Build a TUM-format sequence dir (rgb/, depth/, rgb.txt, depth.txt,
+    groundtruth.txt) from the sample frames."""
+    if not os.path.isdir(SAMPLES):
+        pytest.skip("sample frames unavailable")
+    root = tmp_path_factory.mktemp("tum") / "seq0"
+    (root / "rgb").mkdir(parents=True)
+    (root / "depth").mkdir()
+    colors = sorted(os.listdir(os.path.join(SAMPLES, "color")))
+    depths = sorted(os.listdir(os.path.join(SAMPLES, "depth")))
+    rgb_lines, depth_lines, gt_lines = [], [], []
+    for i, (c, d) in enumerate(zip(colors, depths)):
+        t = 100.0 + i * 0.1
+        shutil.copy(os.path.join(SAMPLES, "color", c), root / "rgb" / f"{t:.4f}.png")
+        shutil.copy(os.path.join(SAMPLES, "depth", d), root / "depth" / f"{t:.4f}.png")
+        rgb_lines.append(f"{t:.4f} rgb/{t:.4f}.png")
+        depth_lines.append(f"{t:.4f} depth/{t:.4f}.png")
+        # small forward motion ground truth
+        gt_lines.append(f"{t:.4f} 0 0 {0.01 * i:.4f} 0 0 0 1")
+    (root / "rgb.txt").write_text("\n".join(rgb_lines) + "\n")
+    (root / "depth.txt").write_text("\n".join(depth_lines) + "\n")
+    (root / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
+    return str(root)
+
+
+def test_tum_dataset_custom_folder(tum_fixture):
+    from deep_prob_feature_track_tpu.data.tum import TUM
+
+    ds = TUM(root="", category="test", keyframes=[1], select_traj=tum_fixture)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["color0"].shape == (3, 120, 160)
+    # GT forward motion: relative transform ~1cm along z
+    np.testing.assert_allclose(item["transform"][2, 3], -0.01, atol=1e-6)
+    kp = ds.get_keypair(3)
+    assert kp["name"]["frame0"] == 0 and kp["name"]["frame1"] == 3
+
+
+def test_tum_dataset_keyframe_stride(tum_fixture):
+    from deep_prob_feature_track_tpu.data.tum import TUM
+
+    ds = TUM(root="", category="test", keyframes=[2], select_traj=tum_fixture)
+    assert len(ds) == 2  # frames 0,2,4 -> 2 pairs
+
+
+def test_evaluate_cli(tum_fixture, tmp_path, capsys):
+    from deep_prob_feature_track_tpu.apps.evaluate import main
+
+    rc = main(
+        [
+            "--dataset", "TUM_RGBD",
+            "--data_root", "",
+            "--trajectory", tum_fixture,
+            "--preset", "RGB",
+            "--keyframes", "1",
+            "--batch_size", "2",
+            "--output_dir", str(tmp_path / "results"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "EPE3D" in out
+    csvs = list((tmp_path / "results").rglob("summary.csv"))
+    assert len(csvs) == 1
+    text = csvs[0].read_text()
+    assert "mean values of trajectories keyframe 1" in text
+
+
+def test_train_cli_smoke(tum_fixture, tmp_path):
+    from deep_prob_feature_track_tpu.apps.train import main
+    from deep_prob_feature_track_tpu.data import tum as tum_mod
+
+    # point the train split at our fixture sequence
+    orig = dict(tum_mod.TUM_TRAINVAL)
+    tum_mod.TUM_TRAINVAL.clear()
+    tum_mod.TUM_TRAINVAL["fx"] = [os.path.basename(tum_fixture)]
+    try:
+        rc = main(
+            [
+                "--dataset", "TUM_RGBD",
+                "--data_root", os.path.dirname(tum_fixture),
+                "--preset", "RGB",
+                "--keyframes", "1",
+                "--batch_size", "2",
+                "--epochs", "1",
+                "--no_val",
+                "--checkpoint_folder", str(tmp_path / "logs"),
+            ]
+        )
+        assert rc == 0
+        ckpts = list((tmp_path / "logs").rglob("*.msgpack"))
+        assert len(ckpts) >= 1
+    finally:
+        tum_mod.TUM_TRAINVAL.clear()
+        tum_mod.TUM_TRAINVAL.update(orig)
