@@ -183,6 +183,50 @@ def pose_vec_to_Rt(vec: jnp.ndarray, rotation_mode: str = "euler"):
     return R, trs
 
 
+def matrix_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> quaternion [qx,qy,qz,qw] (TUM trajectory order).
+
+    Branch-free Shepperd-style selection expressed with ``where`` so it
+    vectorizes; stable for all rotation classes.
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-12))
+
+    # four candidate solutions, pick the best-conditioned
+    qw0 = 0.5 * safe_sqrt(1.0 + tr)
+    c0 = jnp.stack(
+        [(m21 - m12) / (4 * qw0), (m02 - m20) / (4 * qw0), (m10 - m01) / (4 * qw0), qw0],
+        axis=-1,
+    )
+    qx1 = 0.5 * safe_sqrt(1.0 + m00 - m11 - m22)
+    c1 = jnp.stack(
+        [qx1, (m01 + m10) / (4 * qx1), (m02 + m20) / (4 * qx1), (m21 - m12) / (4 * qx1)],
+        axis=-1,
+    )
+    qy2 = 0.5 * safe_sqrt(1.0 - m00 + m11 - m22)
+    c2 = jnp.stack(
+        [(m01 + m10) / (4 * qy2), qy2, (m12 + m21) / (4 * qy2), (m02 - m20) / (4 * qy2)],
+        axis=-1,
+    )
+    qz3 = 0.5 * safe_sqrt(1.0 - m00 - m11 + m22)
+    c3 = jnp.stack(
+        [(m02 + m20) / (4 * qz3), (m12 + m21) / (4 * qz3), qz3, (m10 - m01) / (4 * qz3)],
+        axis=-1,
+    )
+    cond1 = (m00 > m11) & (m00 > m22)
+    cond2 = m11 > m22
+    alt = jnp.where(
+        cond1[..., None], c1, jnp.where(cond2[..., None], c2, c3)
+    )
+    q = jnp.where((tr > 0)[..., None], c0, alt)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
 def transform_to_matrix4(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """(R, t) -> homogeneous 4x4 (ref geometry.py:1139-1149)."""
     B = R.shape[:-2]

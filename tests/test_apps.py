@@ -1,0 +1,103 @@
+"""App-level tests: kf_vo and convergence_basin on the TUM fixture."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_eval_train_cli import tum_fixture  # noqa: F401 (fixture reuse)
+
+
+def test_matrix_to_quat_roundtrip(rng):
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from deep_prob_feature_track_tpu.geometry.lie import matrix_to_quat
+
+    R = Rotation.random(16, random_state=rng).as_matrix()
+    q = np.asarray(matrix_to_quat(jnp.asarray(R)))
+    q_ref = Rotation.from_matrix(R).as_quat()  # [x,y,z,w]
+    # quaternions are sign-ambiguous
+    dot = np.abs(np.sum(q * q_ref, axis=-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-6)
+
+
+def test_ate_rmse_identity():
+    from deep_prob_feature_track_tpu.apps.kf_vo import ate_rmse
+
+    traj = np.random.RandomState(0).randn(20, 3)
+    assert ate_rmse(traj, traj) < 1e-9
+    # rigidly transformed trajectory aligns to zero error
+    from scipy.spatial.transform import Rotation
+
+    R = Rotation.from_euler("xyz", [0.2, -0.1, 0.3]).as_matrix()
+    moved = (R @ traj.T).T + np.array([1.0, -2.0, 0.5])
+    assert ate_rmse(moved, traj) < 1e-9
+
+
+def test_kf_vo_cli(tum_fixture, tmp_path):
+    from deep_prob_feature_track_tpu.apps.kf_vo import main
+
+    out = str(tmp_path / "traj.txt")
+    rc = main(
+        [
+            "--dataset", "TUM_RGBD",
+            "--data_root", "",
+            "--trajectory", tum_fixture,
+            "--vo", "RGB",
+            "--vo_type", "keyframe",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 5  # 5 frames
+    assert len(lines[0].split()) == 8  # TUM format
+
+
+def test_kf_vo_incremental(tum_fixture, tmp_path):
+    from deep_prob_feature_track_tpu.apps.kf_vo import main
+
+    out = str(tmp_path / "traj_inc.txt")
+    rc = main(
+        [
+            "--dataset", "TUM_RGBD",
+            "--data_root", "",
+            "--trajectory", tum_fixture,
+            "--vo", "RGB",
+            "--vo_type", "incremental",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    vals = np.loadtxt(out)
+    assert vals.shape == (5, 8)
+    assert np.all(np.isfinite(vals))
+
+
+def test_convergence_basin_cli(tum_fixture, tmp_path):
+    import pickle
+
+    from deep_prob_feature_track_tpu.apps.convergence_basin import main
+
+    out = str(tmp_path / "cb.pkl")
+    rc = main(
+        [
+            "--dataset", "TUM_RGBD",
+            "--data_root", "",
+            "--trajectory", tum_fixture,
+            "--preset", "RGB",
+            "--cb_dimension", "1D",
+            "--pert_samples", "5",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    with open(out, "rb") as f:
+        data = pickle.load(f)
+    assert data["costs"].shape == (4, 6, 5)  # levels x axes x samples
+    assert np.all(np.isfinite(data["costs"]))
+    # cost at the GT pose (center sample) should not exceed the worst
+    # perturbation on the translation-x axis at the finest level
+    center = data["costs"][0, 3, 2]
+    assert center <= data["costs"][0, 3].max() + 1e-9
