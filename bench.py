@@ -22,6 +22,13 @@ B, H, W = 8, 120, 160
 def main():
     import jax
 
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from deep_prob_feature_track_tpu.models.presets import get_preset
     from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
 

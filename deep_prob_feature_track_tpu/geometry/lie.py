@@ -183,6 +183,65 @@ def pose_vec_to_Rt(vec: jnp.ndarray, rotation_mode: str = "euler"):
     return R, trs
 
 
+def _so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) left Jacobian J_l(w) (Taylor-safe)."""
+    theta_sq = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta_sq + _EPS)
+    small = theta_sq < 1e-8
+    # J = I + B*W + C*W^2 with B=(1-cos)/t^2, C=(t-sin)/t^3
+    b = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / (theta_sq + _EPS))
+    c = jnp.where(
+        small, 1.0 / 6.0 - theta_sq / 120.0, (theta - jnp.sin(theta)) / (theta_sq * theta + _EPS)
+    )
+    W = skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + b[..., None, None] * W + c[..., None, None] * (W @ W)
+
+
+def _so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
+    """Inverse SO(3) left Jacobian (Taylor-safe)."""
+    theta_sq = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta_sq + _EPS)
+    small = theta_sq < 1e-8
+    half = 0.5 * theta
+    cot_term = jnp.where(
+        small,
+        1.0 / 12.0 + theta_sq / 720.0,
+        (1.0 / (theta_sq + _EPS)) * (1.0 - half * jnp.cos(half) / jnp.sin(jnp.where(small, 1.0, half))),
+    )
+    W = skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye - 0.5 * W + cot_term[..., None, None] * (W @ W)
+
+
+def exp_se3(xi: jnp.ndarray):
+    """se(3) -> SE(3): twist [rot(3), trs(3)] -> (R, t).
+
+    ``t = J_l(w) rho`` with the SO(3) left Jacobian.
+    """
+    w = xi[..., :3]
+    rho = xi[..., 3:]
+    R = exp_so3(w)
+    t = jnp.einsum("...ij,...j->...i", _so3_left_jacobian(w), rho)
+    return R, t
+
+
+def log_se3(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) -> se(3) twist [rot, trs]."""
+    w = log_so3(R)
+    rho = jnp.einsum("...ij,...j->...i", _so3_left_jacobian_inv(w), t)
+    return jnp.concatenate([w, rho], axis=-1)
+
+
+def adjoint_se3(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) adjoint in [rot, trs] twist order:
+    ``Adj = [[R, 0], [skew(t) R, R]]`` (6x6)."""
+    Z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, Z], axis=-1)
+    bottom = jnp.concatenate([skew(t) @ R, R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def matrix_to_quat(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix -> quaternion [qx,qy,qz,qw] (TUM trajectory order).
 

@@ -185,8 +185,34 @@ class LeastSquareTracking(nn.Module):
         I0 = color_normalize_nchw(img0)
         I1 = color_normalize_nchw(img1)
 
-        x0, sigma0, raw0 = self._encode(I0, invD0, I1, invD1, train)
-        x1, sigma1, raw1 = self._encode(I1, invD1, I0, invD0, train)
+        if cfg.encoder_name == "ConvRGBD2":
+            # both view orders in ONE stacked encoder pass (the reference
+            # runs two sequential forwards, LeastSquareTracking.py:666-667;
+            # eval outputs are identical and dispatch count halves)
+            B = img0.shape[0]
+            m = jnp.concatenate(
+                [
+                    jnp.concatenate([I0, invD0, I1, invD1], axis=1),
+                    jnp.concatenate([I1, invD1, I0, invD0], axis=1),
+                ],
+                axis=0,
+            )
+            f_all, s_all, raw_all = self.encoder(m, train=train)
+            x0 = [f[:B] for f in f_all]
+            x1 = [f[B:] for f in f_all]
+            sigma0 = [None if s is None else s[:B] for s in s_all]
+            sigma1 = [None if s is None else s[B:] for s in s_all]
+            raw0 = [r[:B] for r in raw_all]
+            raw1 = [r[B:] for r in raw_all]
+        else:
+            x0, sigma0, raw0 = self._encode(I0, invD0, I1, invD1, train)
+            x1, sigma1, raw1 = self._encode(I1, invD1, I0, invD0, train)
+
+        # solver math always runs in f32 (bf16 encoders cast up here)
+        def _f32(lst):
+            return [None if a is None else a.astype(jnp.float32) for a in lst]
+
+        x0, x1, sigma0, sigma1 = _f32(x0), _f32(x1), _f32(sigma0), _f32(sigma1)
         inv_d0 = image_pyramid(invD0, pool="max")
         inv_d1 = image_pyramid(invD1, pool="max")
 
@@ -317,6 +343,10 @@ class LeastSquareTracking(nn.Module):
             if cfg.uncer_prop:
                 return pyr_R, pyr_t, jnp.stack(sigma_ksi, axis=1)
             return pyr_R, pyr_t
+        if cfg.uncer_prop:
+            # eval with uncertainty propagation: the final-level 6x6 pose
+            # information matrix rides along (consumed by the BA backend)
+            return pose, sigma_ksi[-1]
         return pose
 
     def compute_residual(

@@ -31,20 +31,52 @@ def lev_mar_damp(
 
 
 def solve_chol(H: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve ``H x = rhs`` for SPD ``H`` via batched Cholesky.
+    """Solve ``H x = rhs`` for SPD ``H`` via a fully unrolled 6x6 Cholesky.
+
+    XLA's generic ``cholesky``/``triangular_solve`` lowers tiny batched
+    systems through loops that dispatch poorly on TPU; for the fixed 6x6
+    case the factorization is unrolled into straight-line elementwise code
+    over the batch dimension (pure VPU work, fuses with the surrounding
+    reduction kernels).
 
     :param H: ``[B,6,6]`` damped Hessians (SPD)
     :param rhs: ``[B,6]`` or ``[B,6,1]``
     :return: same trailing shape as ``rhs``
     """
     squeeze = rhs.ndim == H.ndim - 1
-    b = rhs[..., None] if squeeze else rhs
-    L = jnp.linalg.cholesky(H)
-    y = jax.lax.linalg.triangular_solve(L, b, left_side=True, lower=True)
-    x = jax.lax.linalg.triangular_solve(
-        L, y, left_side=True, lower=True, transpose_a=True
-    )
-    return x[..., 0] if squeeze else x
+    b = rhs if squeeze else rhs[..., 0]
+    n = 6
+    # Cholesky-Crout, fully unrolled: L[i][j] are [B] vectors
+    L = [[None] * n for _ in range(n)]
+    inv_diag = [None] * n
+    for j in range(n):
+        s = H[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = d
+        inv_diag[j] = 1.0 / d
+        for i in range(j + 1, n):
+            s = H[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_diag[j]
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s * inv_diag[i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s * inv_diag[i]
+    out = jnp.stack(x, axis=-1)
+    return out if squeeze else out[..., None]
 
 
 def solve_inverse(H: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:

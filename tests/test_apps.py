@@ -101,3 +101,46 @@ def test_convergence_basin_cli(tum_fixture, tmp_path):
     # perturbation on the translation-x axis at the finest level
     center = data["costs"][0, 3, 2]
     assert center <= data["costs"][0, 3].max() + 1e-9
+
+
+def test_ba_refine_cli(tum_fixture, tmp_path):
+    from deep_prob_feature_track_tpu.apps.ba_refine import main
+
+    out = str(tmp_path / "ba_traj.txt")
+    rc = main(
+        [
+            "--dataset", "TUM_RGBD",
+            "--data_root", "",
+            "--trajectory", tum_fixture,
+            "--preset", "feature",
+            "--window", "2",
+            "--iterations", "5",
+            "--batch_size", "4",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    vals = np.loadtxt(out)
+    assert vals.shape == (5, 8)
+    assert np.all(np.isfinite(vals))
+
+
+def test_ba_refine_cli_sharded(tum_fixture, tmp_path):
+    from deep_prob_feature_track_tpu.apps.ba_refine import main
+
+    out = str(tmp_path / "ba_traj_sharded.txt")
+    rc = main(
+        [
+            "--dataset", "TUM_RGBD",
+            "--data_root", "",
+            "--trajectory", tum_fixture,
+            "--preset", "feature",
+            "--window", "2",
+            "--iterations", "3",
+            "--batch_size", "4",
+            "--sharded",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    assert np.all(np.isfinite(np.loadtxt(out)))
