@@ -111,3 +111,27 @@ def test_tum_augmentation():
         ratio0 = out[0] / np.clip(imgs[0], 1e-6, None)
         ratio1 = out[1] / np.clip(imgs[1], 1e-6, None)
         assert abs(np.median(ratio0) - np.median(ratio1)) < 0.2
+
+
+def test_native_io_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    from deep_prob_feature_track_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native IO not built")
+    if not os.path.isdir(SAMPLES):
+        pytest.skip("samples unavailable")
+    p = os.path.join(SAMPLES, "color", sorted(os.listdir(os.path.join(SAMPLES, "color")))[0])
+    d = os.path.join(SAMPLES, "depth", sorted(os.listdir(os.path.join(SAMPLES, "depth")))[0])
+
+    img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    ref_rgb = cv2.resize(img, None, fx=0.25, fy=0.25)
+    nat_rgb = np.transpose(native_io.read_rgb_chw(p, 0.25), (1, 2, 0))
+    np.testing.assert_allclose(nat_rgb, ref_rgb, atol=1e-6)
+
+    dep = cv2.imread(d, cv2.IMREAD_UNCHANGED).astype(np.float32) / 5000.0
+    ref_dep = np.clip(
+        cv2.resize(dep, None, fx=0.25, fy=0.25, interpolation=cv2.INTER_NEAREST), 0.5, 5.0
+    )
+    nat_dep = native_io.read_depth(d, 5000.0, 0.25, (0.5, 5.0))[0]
+    np.testing.assert_allclose(nat_dep, ref_dep, atol=1e-6)
