@@ -107,6 +107,53 @@ def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     return out
 
 
+def grad_bilinear_interpolation(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Exact derivative of bilinear interpolation w.r.t. (u, v).
+
+    Reference: geometry.py:648-725 — within each unit cell the derivative
+    in x is the v-lerped difference of the right/left columns, and vice
+    versa; pixels outside (0, size-1) are invalid (the reference
+    NaN-poisons them; here a mask is returned instead).
+
+    :param F: [B,C,H,W]; u, v: [B,1,H',W']
+    :return: (gx, gy, invalid) with gx/gy [B,C,H',W'], invalid [B,1,H',W']
+    """
+    B, C, H, W = F.shape
+    out_shape = u.shape
+    uf = u.reshape(B, -1)
+    vf = v.reshape(B, -1)
+    invalid = ~(
+        (uf > 0) & (vf > 0) & (uf < W - 1) & (vf < H - 1)
+        & jnp.isfinite(uf) & jnp.isfinite(vf)
+    )
+    uc = jnp.clip(uf, 0.0, W - 1.0)
+    vc = jnp.clip(vf, 0.0, H - 1.0)
+    u0 = jnp.floor(uc)
+    v0 = jnp.floor(vc)
+    du = (uc - u0)[:, None]
+    dv = (vc - v0)[:, None]
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    u1i = jnp.minimum(u0i + 1, W - 1)
+    v1i = jnp.minimum(v0i + 1, H - 1)
+
+    flat = F.reshape(B, C, H * W)
+
+    def gather(vi, ui):
+        idx = vi * W + ui
+        return jnp.take_along_axis(flat, idx[:, None, :], axis=2)
+
+    f00 = gather(v0i, u0i)
+    f01 = gather(v0i, u1i)
+    f10 = gather(v1i, u0i)
+    f11 = gather(v1i, u1i)
+    gx = (f01 - f00) * (1 - dv) + (f11 - f10) * dv
+    gy = (f10 - f00) * (1 - du) + (f11 - f01) * du
+    gx = gx.reshape(B, C, out_shape[2], out_shape[3])
+    gy = gy.reshape(B, C, out_shape[2], out_shape[3])
+    return gx, gy, invalid.reshape(B, 1, out_shape[2], out_shape[3])
+
+
 def check_occ(inv_z_buffer, inv_z_ref, u, v, thres: float = 1e-1) -> jnp.ndarray:
     """Z-buffer occlusion + out-of-view check (ref geometry.py:334-350).
 

@@ -31,17 +31,29 @@ def lev_mar_damp(
 
 
 def solve_chol(H: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve ``H x = rhs`` for SPD ``H`` via a fully unrolled 6x6 Cholesky.
-
-    XLA's generic ``cholesky``/``triangular_solve`` lowers tiny batched
-    systems through loops that dispatch poorly on TPU; for the fixed 6x6
-    case the factorization is unrolled into straight-line elementwise code
-    over the batch dimension (pure VPU work, fuses with the surrounding
-    reduction kernels).
+    """Solve ``H x = rhs`` for SPD ``H`` via batched Cholesky.
 
     :param H: ``[B,6,6]`` damped Hessians (SPD)
     :param rhs: ``[B,6]`` or ``[B,6,1]``
     :return: same trailing shape as ``rhs``
+    """
+    squeeze = rhs.ndim == H.ndim - 1
+    b = rhs[..., None] if squeeze else rhs
+    L = jnp.linalg.cholesky(H)
+    y = jax.lax.linalg.triangular_solve(L, b, left_side=True, lower=True)
+    x = jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )
+    return x[..., 0] if squeeze else x
+
+
+def solve_chol_unrolled(H: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Fully unrolled 6x6 Cholesky solve (straight-line VPU code).
+
+    Runtime-equivalent alternative to :func:`solve_chol`; measured
+    marginally faster per step on TPU but considerably slower to compile
+    through Mosaic when unrolled across many GN iterations, so the linalg
+    path is the default.
     """
     squeeze = rhs.ndim == H.ndim - 1
     b = rhs if squeeze else rhs[..., 0]

@@ -70,8 +70,29 @@ def jtj_jtr(
     (algorithms.py:812-834) applied to
     ``J = sign * (alpha (x) u + beta (x) v)`` with optional per-pixel
     weights ``w`` (``JtWJ = J^T diag(w) J``).
+
+    Set ``DPFT_PALLAS=1`` to route the unweighted reduction through the
+    fused Pallas TPU kernel (``ops/pallas/jtj.py``).
     """
+    import os
+
     B, C, H, W = residual.shape
+    if (
+        weights is None
+        and os.environ.get("DPFT_PALLAS")
+        and jax.default_backend() not in ("cpu",)
+    ):
+        from ..ops.pallas.jtj import fused_jtj_jtr
+
+        hw = H * W
+        return fused_jtj_jtr(
+            fac.alpha.reshape(B, C, hw),
+            fac.beta.reshape(B, C, hw),
+            residual.reshape(B, C, hw),
+            fac.u,
+            fac.v,
+            sign=fac.sign,
+        )
     hw = H * W
     alpha = fac.alpha.reshape(B, C, hw)
     beta = fac.beta.reshape(B, C, hw)

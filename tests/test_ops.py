@@ -111,3 +111,12 @@ def test_solve_chol_matches_inverse(rng):
     np.testing.assert_allclose(x1, x2, rtol=1e-6, atol=1e-8)
     resid = np.asarray(H6) @ x1 - np.asarray(rhs)
     np.testing.assert_allclose(resid, 0.0, atol=1e-8)
+
+
+def test_solve_chol_unrolled_matches(rng):
+    A = rng.randn(4, 6, 6)
+    H6 = jnp.asarray(A @ np.swapaxes(A, 1, 2) + 6 * np.eye(6))
+    rhs = jnp.asarray(rng.randn(4, 6))
+    x1 = np.asarray(solver6.solve_chol(H6, rhs))
+    x2 = np.asarray(solver6.solve_chol_unrolled(H6, rhs))
+    np.testing.assert_allclose(x1, x2, rtol=1e-8, atol=1e-10)

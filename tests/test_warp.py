@@ -103,3 +103,29 @@ def test_scale_K():
     K = jnp.asarray([[400.0, 400.0, 160.0, 120.0]])
     K3 = warp.scale_K(K, 3)
     np.testing.assert_allclose(np.asarray(K3), np.asarray(K) / 8.0)
+
+
+def test_grad_bilinear_matches_autodiff(rng):
+    """Exact interpolation gradients must equal d(warp_features)/d(u,v)."""
+    import jax
+
+    B, C, H, W = 1, 2, 9, 11
+    F = jnp.asarray(rng.randn(B, C, H, W))
+    u = jnp.asarray(rng.uniform(1.0, W - 2.0, (B, 1, 4, 5)))
+    v = jnp.asarray(rng.uniform(1.0, H - 2.0, (B, 1, 4, 5)))
+    gx, gy, invalid = warp.grad_bilinear_interpolation(F, u, v)
+    assert not np.any(np.asarray(invalid))
+
+    # autodiff wrt a scalar shift of u (and v) at each sample point
+    ju = jax.jacfwd(lambda du: warp.warp_features(F, u + du, v))(0.0)
+    jv = jax.jacfwd(lambda dv: warp.warp_features(F, u, v + dv))(0.0)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(ju), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(jv), atol=1e-6)
+
+
+def test_grad_bilinear_invalid_mask(rng):
+    F = jnp.asarray(rng.randn(1, 1, 6, 8))
+    u = jnp.asarray([[[[-1.0, 3.0]]]])
+    v = jnp.asarray([[[[2.0, 5.5]]]])
+    _, _, invalid = warp.grad_bilinear_interpolation(F, u, v)
+    assert np.asarray(invalid)[0, 0, 0].tolist() == [True, True]  # oob u; v==H-0.5>H-1
