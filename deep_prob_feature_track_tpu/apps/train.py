@@ -40,6 +40,10 @@ def build_argparser():
     p.add_argument("--save_checkpoint_freq", type=int, default=1)
     p.add_argument("--no_val", action="store_true")
     p.add_argument("--mesh", action="store_true", help="shard batch over all devices")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() before device use")
+    p.add_argument("--debug_nan", action="store_true",
+                   help="checkify float checks on the train step (slow)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--time", action="store_true", help="stage timing")
     p.add_argument("--max_steps_per_epoch", type=int, default=0,
@@ -52,6 +56,11 @@ def main(argv=None):
     # fixed seeds like the reference (train.py:377-378)
     random.seed(args.seed)
     np.random.seed(args.seed)
+
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
 
     import jax
 
@@ -106,6 +115,13 @@ def main(argv=None):
 
     mesh = make_mesh() if args.mesh else None
     step_fn = make_train_step(net, tcfg, optimizer, mesh=mesh)
+    if args.debug_nan:
+        from ..utils.debug import checked
+
+        def _raw_step(state, batch):
+            return step_fn(state, batch)
+
+        step_fn = checked(_raw_step, jit=False)
 
     val_loaders = {}
     if not args.no_val:

@@ -111,3 +111,23 @@ def test_checkpoint_roundtrip(rng, tmp_path):
         jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_debug_nan_checking(rng):
+    """checkify wrapper must catch NaN production inside a jitted step."""
+    import jax.numpy as jnp
+    import pytest
+    from jax.experimental import checkify
+
+    from deep_prob_feature_track_tpu.utils.debug import checked
+
+    @jax.jit
+    def bad_fn(x):
+        return jnp.log(x - 10.0)  # NaN for x < 10
+
+    wrapped = checked(bad_fn, jit=False)
+    with pytest.raises(checkify.JaxRuntimeError):
+        wrapped(jnp.asarray([1.0]))
+    # clean input passes through
+    out = wrapped(jnp.asarray([20.0]))
+    assert np.isfinite(float(out[0]))
