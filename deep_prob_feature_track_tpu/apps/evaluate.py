@@ -30,7 +30,7 @@ def build_argparser():
     p.add_argument("--image_resize", type=float, default=0.25)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--tracker", default="learning_based",
-                   choices=("learning_based", "ICP", "RGB"))
+                   choices=("learning_based", "ICP", "RGBD", "ColorICP"))
     p.add_argument("--obj_only", action="store_true")
     p.add_argument("--output_dir", default="test_results")
     p.add_argument("--time", action="store_true")
@@ -57,43 +57,56 @@ def main(argv=None):
         root=args.data_root,
     )
 
-    if args.tracker == "learning_based":
-        preset = args.preset
-    elif args.tracker == "ICP":
-        preset = "ICP"
-    else:
-        preset = "RGB"
-    net = LeastSquareTracking(cfg=get_preset(preset))
-
-    # init / load weights
-    first_loader = next(iter(loaders.values()))
-    example = next(iter(first_loader))
     import jax.numpy as jnp
 
-    ex_args = tuple(
-        jnp.asarray(example[k]) for k in ("color0", "color1", "depth0", "depth1", "calib")
-    )
-    if args.checkpoint:
-        from ..training.checkpoints import restore_variables
+    if args.tracker != "learning_based":
+        # non-learned baselines through the batch_track duck-type
+        # (ref evaluate.py:248-289 dispatches Open3D trackers the same way)
+        from .baselines import ICPOdometry, RGBDOdometry
 
-        raw = restore_variables(args.checkpoint)
-        # accept either a bare variables dict or a full TrainState dump
-        if "params" in raw and "batch_stats" in raw:
-            variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
-        else:
-            variables = raw
-        ckpt_name = os.path.basename(args.checkpoint).replace(".msgpack", "")
+        tracker = {
+            "ICP": lambda: ICPOdometry(),
+            "RGBD": lambda: RGBDOdometry(term="hybrid"),
+            "ColorICP": lambda: RGBDOdometry(term="color"),
+        }[args.tracker]()
+        ckpt_name = f"nolearning_{args.tracker}"
+
+        def forward(c0, c1, d0, d1, K, obj_mask0=None, obj_mask1=None):
+            R, t = tracker.batch_track(c0, d0, c1, d1, K)
+            return jnp.asarray(R), jnp.asarray(t)
+
     else:
-        print("[evaluate] no checkpoint: random init (non-learned presets unaffected)")
-        variables = net.init(jax.random.PRNGKey(0), *ex_args, train=False)
-        ckpt_name = f"nolearning_{preset}"
+        preset = args.preset
+        net = LeastSquareTracking(cfg=get_preset(preset))
 
-    @jax.jit
-    def forward(c0, c1, d0, d1, K, obj_mask0=None, obj_mask1=None):
-        return net.apply(
-            variables, c0, c1, d0, d1, K,
-            obj_mask0=obj_mask0, obj_mask1=obj_mask1, train=False,
+        # init / load weights
+        first_loader = next(iter(loaders.values()))
+        example = next(iter(first_loader))
+        ex_args = tuple(
+            jnp.asarray(example[k])
+            for k in ("color0", "color1", "depth0", "depth1", "calib")
         )
+        if args.checkpoint:
+            from ..training.checkpoints import restore_variables
+
+            raw = restore_variables(args.checkpoint)
+            # accept either a bare variables dict or a full TrainState dump
+            if "params" in raw and "batch_stats" in raw:
+                variables = {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+            else:
+                variables = raw
+            ckpt_name = os.path.basename(args.checkpoint).replace(".msgpack", "")
+        else:
+            print("[evaluate] no checkpoint: random init (non-learned presets unaffected)")
+            variables = net.init(jax.random.PRNGKey(0), *ex_args, train=False)
+            ckpt_name = f"nolearning_{preset}"
+
+        @jax.jit
+        def forward(c0, c1, d0, d1, K, obj_mask0=None, obj_mask1=None):
+            return net.apply(
+                variables, c0, c1, d0, d1, K,
+                obj_mask0=obj_mask0, obj_mask1=obj_mask1, train=False,
+            )
 
     results = {}
     for key, loader in loaders.items():

@@ -106,3 +106,22 @@ def test_train_cli_smoke(tum_fixture, tmp_path):
     finally:
         tum_mod.TUM_TRAINVAL.clear()
         tum_mod.TUM_TRAINVAL.update(orig)
+
+
+def test_evaluate_cli_icp_baseline(tum_fixture, tmp_path, capsys):
+    from deep_prob_feature_track_tpu.apps.evaluate import main
+
+    rc = main(
+        [
+            "--dataset", "TUM_RGBD",
+            "--data_root", "",
+            "--trajectory", tum_fixture,
+            "--tracker", "ICP",
+            "--keyframes", "1",
+            "--batch_size", "2",
+            "--output_dir", str(tmp_path / "results_icp"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "EPE3D" in out

@@ -88,3 +88,54 @@ def test_sharded_train_matches_single_device(rng):
     np.testing.assert_allclose(
         float(m_single["grad_norm"]), float(m_sharded["grad_norm"]), rtol=2e-2
     )
+
+
+def test_spatial_sharding_encoder_matches(rng):
+    """Sharding H over a 'spatial' mesh axis must not change encoder
+    outputs — XLA's SPMD partitioner inserts the conv halo exchanges."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deep_prob_feature_track_tpu.models.encoder import FeaturePyramid
+
+    net = FeaturePyramid(feature_channel=4, uncertainty_type="laplacian")
+    x = jnp.asarray(rng.randn(2, 8, 64, 40).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+
+    f_ref, s_ref, _ = jax.jit(lambda v, a: net.apply(v, a, train=False))(variables, x)
+
+    mesh = make_mesh(axis_names=("spatial",))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "spatial", None)))
+    f_sh, s_sh, _ = jax.jit(lambda v, a: net.apply(v, a, train=False))(variables, xs)
+    for a, b in zip(f_ref, f_sh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(s_ref, s_sh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_spatial_sharding_solver_matches(rng):
+    """Full U_IC level with spatially sharded feature maps == unsharded."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deep_prob_feature_track_tpu.solvers import trust_region as TR
+    from tests.test_trust_region import make_pair, identity_pose
+
+    K, f0, f1, depth0, depth1, pose_gt = make_pair(np.random.RandomState(3), H=64, W=80)
+    sigma = jnp.ones_like(f0)
+    invD0, invD1 = 1.0 / depth0, 1.0 / depth1
+
+    def solve(f0_, f1_, i0, i1, s):
+        pose, w, J = TR.tr_uic_level(
+            identity_pose(1), f0_, f1_, i0, i1, K, s, s, max_iter=2
+        )
+        return pose
+
+    R_ref, t_ref = jax.jit(solve)(f0, f1, invD0, invD1, sigma)
+
+    mesh = make_mesh(axis_names=("spatial",))
+    spec = NamedSharding(mesh, P(None, None, "spatial", None))
+    args = [jax.device_put(a, spec) for a in (f0, f1, invD0, invD1, sigma)]
+    R_sh, t_sh = jax.jit(solve)(*args)
+    np.testing.assert_allclose(np.asarray(R_ref), np.asarray(R_sh), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_sh), atol=1e-5)
