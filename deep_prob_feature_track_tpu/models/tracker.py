@@ -278,6 +278,7 @@ class LeastSquareTracking(nn.Module):
                 pose, x0, x1, dpt0, dpt1, K_l, sigma0, sigma1,
                 mest_fn, self._solver(level), w_prior=w_prior, obj_mask1=m1,
                 max_iter=cfg.max_iter_per_pyr,
+                unroll=cfg.mest_type != "None",  # flax module inside the body
             )
             return pose, weights, None
         if tt == "ICP":

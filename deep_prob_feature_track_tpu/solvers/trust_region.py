@@ -175,53 +175,52 @@ def tr_uic_level(
     pre = precompute_uic(invD0, x0, sigma0, px, py, K)
 
     w_icp = None
-    JtWJ = None
-    weighted_res = None
-    for it in range(max_iter):
-        out, _, _ = compute_inverse_residuals(
-            pose,
-            invD0,
-            invD1,
-            x0,
-            x1,
-            sigma0,
-            sigma1,
-            px,
-            py,
-            K,
-            obj_mask0=obj_mask0,
-            obj_mask1=obj_mask1,
+    if combine_icp:
+        # the ICP<->feature scale is computed from the FIRST iteration's
+        # residuals and reused (ref algorithms.py:674-679)
+        out0, _, _ = compute_inverse_residuals(
+            pose, invD0, invD1, x0, x1, sigma0, sigma1, px, py, K,
+            obj_mask0=obj_mask0, obj_mask1=obj_mask1,
             remove_tru_sigma=remove_tru_sigma,
         )
-        weighted_res = out.weighted_res
-        fac = uic_factors(pre, out.res, out.sigma, sigma0)
-        JtWJ, JtR = jtj_jtr(fac, weighted_res)
+        icp_res0, _, _ = icp_mod.icp_residuals_inverse(
+            vertex0, vertex1, normal1, pose, K,
+            obj_mask0=obj_mask0, obj_mask1=obj_mask1, sigma_model=icp_sigma,
+        )
+        w_icp = scale_fn(icp_res0, out0.weighted_res, w_prior)  # [B,1,H,W]
 
+    def gn_iteration(_, carry):
+        """One GN iteration; traced once, run max_iter times (the reference
+        unrolls the identical body in Python, algorithms.py:646-693)."""
+        R, t, _ = carry
+        p = (R, t)
+        out, _, _ = compute_inverse_residuals(
+            p, invD0, invD1, x0, x1, sigma0, sigma1, px, py, K,
+            obj_mask0=obj_mask0, obj_mask1=obj_mask1,
+            remove_tru_sigma=remove_tru_sigma,
+        )
+        fac = uic_factors(pre, out.res, out.sigma, sigma0)
+        JtWJ, JtR = jtj_jtr(fac, out.weighted_res)
         if combine_icp:
-            icp_res, icp_J, icp_occ = icp_mod.icp_residuals_inverse(
-                vertex0,
-                vertex1,
-                normal1,
-                pose,
-                K,
-                obj_mask0=obj_mask0,
-                obj_mask1=obj_mask1,
-                sigma_model=icp_sigma,
+            icp_res, icp_J, _ = icp_mod.icp_residuals_inverse(
+                vertex0, vertex1, normal1, p, K,
+                obj_mask0=obj_mask0, obj_mask1=obj_mask1, sigma_model=icp_sigma,
             )
-            # the ICP<->feature scale is computed at the first iteration and
-            # reused (ref algorithms.py:674-679)
-            if it == 0:
-                w_icp = scale_fn(icp_res, weighted_res, w_prior)  # [B,1,H,W]
             icp_res = w_icp * icp_res
             icp_J = w_icp.reshape(B, H * W_, 1) * icp_J
             icp_JtJ, icp_JtR = icp_mod.icp_jtj_jtr(icp_J, icp_res)
             JtWJ = JtWJ + icp_JtJ
             JtR = JtR + icp_JtR
-
         Hd = lev_mar_damp(JtWJ)
-        pose = inverse_update_pose(Hd, JtR, pose)
+        R_new, t_new = inverse_update_pose(Hd, JtR, p)
+        return (R_new, t_new, JtWJ)
 
-    weights = w_icp if combine_icp else jnp.ones_like(weighted_res)
+    jtj_dtype = jnp.result_type(x0, sigma0, invD0, K)
+    init = (pose[0], pose[1], jnp.zeros((B, 6, 6), jtj_dtype))
+    R, t, JtWJ = jax.lax.fori_loop(0, max_iter, gn_iteration, init)
+    pose = (R, t)
+
+    weights = w_icp if combine_icp else jnp.ones_like(x0)
     return pose, weights, JtWJ
 
 
@@ -298,11 +297,17 @@ def tr_ic_level(
     obj_mask0=None,
     obj_mask1=None,
     max_iter: int = 3,
+    unroll: bool = False,
 ):
     """One pyramid level of the plain IC solver (ref algorithms.py:45-101).
 
     Template Jacobian and M-estimator weights are computed once from the
     initial residual; the loop alternates solve / re-residual.
+
+    :param unroll: Python-unroll the iterations instead of ``fori_loop`` —
+        required when the solve itself applies flax modules (Direct-ResVol's
+        damping MLP cannot be traced inside lax control flow from outside a
+        lifted transform).
     """
     B, C, H, W_ = x0.shape
     px, py = W.generate_xy_grid(B, H, W_, K)
@@ -323,13 +328,21 @@ def tr_ic_level(
         )
         return r
 
-    for _ in range(max_iter):
-        JtR = jtr_fn(residuals)
-        pose = direct_solve(solver, JtWJ, JtR, pose, residual_fn, jtr_fn)
-        residuals, occ = compute_warped_residual(
-            pose, invD0, invD1, x0, x1, px, py, K, obj_mask1=obj_mask1
-        )
-    return pose, weights
+    def gn_iteration(_, carry):
+        R, t, res = carry
+        JtR = jtr_fn(res)
+        R_new, t_new = direct_solve(solver, JtWJ, JtR, (R, t), residual_fn, jtr_fn)
+        new_res = residual_fn((R_new, t_new))
+        return (R_new, t_new, new_res)
+
+    carry = (pose[0], pose[1], residuals)
+    if unroll or solver.kind == "resvol":
+        for i in range(max_iter):
+            carry = gn_iteration(i, carry)
+        R, t, residuals = carry
+    else:
+        R, t, residuals = jax.lax.fori_loop(0, max_iter, gn_iteration, carry)
+    return (R, t), weights
 
 
 def tr_ic_residual(
@@ -417,6 +430,7 @@ def tr_ufc_level(
     w_prior=None,
     obj_mask1=None,
     max_iter: int = 3,
+    unroll: bool = False,
 ):
     """One level of the forward-compositional uncertainty solver.
 
@@ -433,9 +447,10 @@ def tr_ufc_level(
     gxf1, gyf1 = sobel_gradients(x1)
     gxs1, gys1 = sobel_gradients(sigma1)
 
-    weights = None
-    for _ in range(max_iter):
-        u, v, dpt_r, depth_valid, u6, v6 = _warp_forward_depth(dpt0, pose, K)
+    def gn_iteration(_, carry):
+        R, t, _ = carry
+        p = (R, t)
+        u, v, dpt_r, depth_valid, u6, v6 = _warp_forward_depth(dpt0, p, K)
         occ = W.check_occ(dpt_r, dpt1, u, v) | ~depth_valid
         out = compose_residuals(u, v, occ, x0, x1, sigma0, sigma1)
         sigma_r = W.warp_features(sigma1, u, v)
@@ -453,8 +468,18 @@ def tr_ufc_level(
         JtWJ, _ = jtj_jtr(fac, out.weighted_res, weights=weights)
         JtR = jtr_only(fac, out.weighted_res, weights=weights)
         H6 = lev_mar_damp(JtWJ)
-        pose = _update(solver, H6, JtR, pose)
-    return pose, weights
+        R_new, t_new = _update(solver, H6, JtR, p)
+        return (R_new, t_new, weights)
+
+    w0 = mest_fn(jnp.zeros_like(x0), x0, x1, w_prior)
+    carry = (pose[0], pose[1], w0)
+    if unroll or solver.kind == "resvol":
+        for i in range(max_iter):
+            carry = gn_iteration(i, carry)
+        R, t, weights = carry
+    else:
+        R, t, weights = jax.lax.fori_loop(0, max_iter, gn_iteration, carry)
+    return (R, t), weights
 
 
 def tr_ufc_residual(
@@ -496,23 +521,24 @@ def tr_icp_level(
     vertex1 = W.compute_vertex(depth1, px, py)
     normal1 = compute_normal(vertex1)
 
-    residuals = None
-    for _ in range(max_iter):
+    def gn_iteration(_, carry):
+        p = carry
         if direction == "inverse":
             residuals, J, occ = icp_mod.icp_residuals_inverse(
-                vertex0, vertex1, normal1, pose, K, sigma_model=sigma_model
+                vertex0, vertex1, normal1, p, K, sigma_model=sigma_model
             )
         else:
             residuals, J, occ = icp_mod.icp_residuals_forward(
-                vertex0, vertex1, normal1, pose, K, sigma_model=sigma_model
+                vertex0, vertex1, normal1, p, K, sigma_model=sigma_model
             )
         JtJ, JtR = icp_mod.icp_jtj_jtr(J, residuals)
         Hd = lev_mar_damp(JtJ)
         if direction == "inverse":
-            pose = inverse_update_pose(Hd, JtR, pose)
-        else:
-            pose = forward_update_pose(Hd, JtR, pose)
-    weights = jnp.ones_like(residuals)
+            return inverse_update_pose(Hd, JtR, p)
+        return forward_update_pose(Hd, JtR, p)
+
+    pose = jax.lax.fori_loop(0, max_iter, gn_iteration, pose)
+    weights = jnp.ones_like(depth0)
     return pose, weights
 
 
