@@ -310,10 +310,13 @@ class LeastSquareTracking(nn.Module):
         :return: eval: final pose (R, t); train: (pyr_R [B,N,3,3],
             pyr_t [B,N,3][, sigma_ksi [B,N,6,6]])
         """
+        import jax
+
         cfg = self.cfg
-        (x0, x1, sigma0, sigma1, dpt0_pyr, dpt1_pyr, inv_d0, inv_d1, m0_pyr, m1_pyr, pose) = (
-            self._preprocess(img0, img1, depth0, depth1, None, obj_mask0, obj_mask1, train)
-        )
+        with jax.named_scope("preprocess_encode"):
+            (x0, x1, sigma0, sigma1, dpt0_pyr, dpt1_pyr, inv_d0, inv_d1, m0_pyr, m1_pyr, pose) = (
+                self._preprocess(img0, img1, depth0, depth1, None, obj_mask0, obj_mask1, train)
+            )
 
         poses_R: List[jnp.ndarray] = []
         poses_t: List[jnp.ndarray] = []
@@ -328,11 +331,12 @@ class LeastSquareTracking(nn.Module):
         w_prior = jnp.ones_like(inv_d0[3]) * 0.001
         for level in (3, 2, 1, 0):
             K_l = W.scale_K(K, level)
-            pose, w_prior, JtWJ = self._level_update(
-                level, pose, x0[level], x1[level], sigma0[level], sigma1[level],
-                inv_d0[level], inv_d1[level], dpt0_pyr[level], dpt1_pyr[level],
-                K_l, w_prior, m0_pyr[level], m1_pyr[level], train,
-            )
+            with jax.named_scope(f"trust_region_level{level}"):
+                pose, w_prior, JtWJ = self._level_update(
+                    level, pose, x0[level], x1[level], sigma0[level], sigma1[level],
+                    inv_d0[level], inv_d1[level], dpt0_pyr[level], dpt1_pyr[level],
+                    K_l, w_prior, m0_pyr[level], m1_pyr[level], train,
+                )
             poses_R.append(pose[0])
             poses_t.append(pose[1])
             if cfg.uncer_prop:

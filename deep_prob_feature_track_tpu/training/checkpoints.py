@@ -42,3 +42,29 @@ def restore_train_state(path: str, state):
     with open(path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(state, data)
+
+
+# ---------------------------------------------------------------------------
+# orbax backend: sharded/multi-host-safe directory checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_orbax(directory: str, state) -> str:
+    """Save a TrainState as an orbax directory checkpoint (multi-host safe:
+    every process participates; sharded arrays save their own shards)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, serialization.to_state_dict(state), force=True)
+    return path
+
+
+def restore_orbax(directory: str, state):
+    """Restore a TrainState from an orbax directory checkpoint."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, serialization.to_state_dict(state))
+    return serialization.from_state_dict(state, restored)

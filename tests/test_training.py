@@ -131,3 +131,21 @@ def test_debug_nan_checking(rng):
     # clean input passes through
     out = wrapped(jnp.asarray([20.0]))
     assert np.isfinite(float(out[0]))
+
+
+def test_orbax_checkpoint_roundtrip(rng, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    cfg = get_preset("RGB")
+    net = LeastSquareTracking(cfg=cfg)
+    tcfg = TrainConfig()
+    opt = make_optimizer(tcfg, steps_per_epoch=10)
+    batch = synthetic_batch(rng, H=16, W=20)
+    state = create_train_state(net, opt, batch)
+    step = make_train_step(net, tcfg, opt)
+    state, _ = step(state, batch)
+
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoints.save_orbax(path, jax.device_get(state))
+    fresh = create_train_state(net, opt, batch)
+    restored = checkpoints.restore_orbax(path, fresh)
+    assert int(restored.step) == 1
