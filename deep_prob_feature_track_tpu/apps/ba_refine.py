@@ -44,7 +44,7 @@ def track_pairs(dataset, pairs, forward_fn, batch_size: int = 8):
         chunk = pairs[start : start + batch_size]
         pad = batch_size - len(chunk)
         chunk_p = chunk + [chunk[-1]] * pad
-        items = [dataset.pair_by_frames(i, j) for (i, j) in chunk_p]
+        items = [dataset.pair_frames(i, j) for (i, j) in chunk_p]
         batch = {
             k: jnp.asarray(np.stack([it[k] for it in items]))
             for k in ("color0", "color1", "depth0", "depth1", "calib")
@@ -92,13 +92,7 @@ def main(argv=None):
         image_resize=args.image_resize, root=args.data_root,
     )
 
-    # give the dataset a direct frame-pair accessor
-    def pair_by_frames(i, j, _ds=dataset):
-        return _ds._load_pair(0, i, j)
-
-    dataset.pair_by_frames = pair_by_frames
-
-    n_frames = len(dataset) + 1
+    n_frames = dataset.num_frames()
     if args.max_frames:
         n_frames = min(n_frames, args.max_frames)
 

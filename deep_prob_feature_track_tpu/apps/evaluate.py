@@ -48,7 +48,7 @@ def main(argv=None):
     from ..utils.timers import Timers
 
     keyframes = [int(k) for k in args.keyframes.split(",")]
-    has_mask = args.dataset not in ("TUM_RGBD", "VaryLighting")
+    has_mask = args.dataset == "MovingObjects3D"
     timers = Timers(block=True) if args.time else None
 
     loaders = create_eval_loaders(

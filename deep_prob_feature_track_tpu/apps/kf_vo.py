@@ -55,7 +55,9 @@ def run_vo(
     """
     import jax.numpy as jnp
 
-    n = len(dataset) + 1
+    n = (
+        dataset.num_frames() if hasattr(dataset, "num_frames") else len(dataset) + 1
+    )
     T_WC = np.eye(4)
     T_WK = np.eye(4)  # world-from-keyframe
     poses = [T_WC.copy()]
@@ -63,7 +65,9 @@ def run_vo(
 
     for i in range(1, n):
         if vo_type == "keyframe":
-            item = dataset.get_keypair(i - 1)
+            # pair frame i against the keyframe (frame 0): pose[i] then
+            # corresponds to frame i, aligned with incremental mode
+            item = dataset.pair_frames(0, i)
         else:
             item = dataset[i - 1]
         args = tuple(

@@ -156,7 +156,10 @@ def main(argv=None):
                 logger.scalar(f"val/{k}/epe3d", float(info["epes"].mean()), epoch)
 
         t0 = time.time()
-        state, mean_loss = train_epoch(step_fn, state, loader, mesh=mesh, logger=logger)
+        state, mean_loss = train_epoch(
+            step_fn, state, loader, mesh=mesh, logger=logger,
+            max_steps=args.max_steps_per_epoch,
+        )
         print(
             f"[train] epoch {epoch}: loss={mean_loss:.4f} "
             f"({time.time() - t0:.1f}s, step={int(state.step)})"

@@ -83,9 +83,12 @@ class BatchLoader:
                 if self.drop_last:
                     return
                 pad = self.batch_size - len(chunk)
-                chunk = np.concatenate([chunk, idx[:pad]])
+                n_real = len(chunk)
+                # wrap-pad; np.resize repeats indices when the dataset is
+                # smaller than the pad itself
+                chunk = np.concatenate([chunk, np.resize(idx, pad)])
                 mask = np.concatenate(
-                    [np.ones(self.batch_size - pad), np.zeros(pad)]
+                    [np.ones(n_real), np.zeros(pad)]
                 ).astype(bool)
             else:
                 mask = np.ones(self.batch_size, dtype=bool)

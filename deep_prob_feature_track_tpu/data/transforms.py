@@ -31,7 +31,7 @@ class ColorAugment:
 
     def __call__(self, images: List[np.ndarray]) -> List[np.ndarray]:
         """:param images: list of [H,W,3] float arrays in [0,1] (one pair)"""
-        if self.rng.uniform() <= self.prob:
+        if self.rng.uniform() > self.prob:  # augment with probability `prob`
             return images
         g = self.rng.uniform(*self.gamma)
         b = self.rng.uniform(*self.brightness)

@@ -156,3 +156,10 @@ class TUM:
         """Pair frame ``index`` against keyframe ``kf_idx`` (keyframe VO)."""
         seq_idx, frame_idx = self._locate(index)
         return self._load_pair(seq_idx, kf_idx, frame_idx)
+
+    def pair_frames(self, idx0: int, idx1: int, seq_idx: int = 0):
+        """Direct frame-pair access by raw frame indices (VO / BA frontends)."""
+        return self._load_pair(seq_idx, idx0, idx1)
+
+    def num_frames(self, seq_idx: int = 0) -> int:
+        return len(self.image_seq[seq_idx])

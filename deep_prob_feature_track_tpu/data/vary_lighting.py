@@ -62,7 +62,9 @@ class VaryLighting:
     def _load(self, rgb_path: str):
         color = read_rgb(rgb_path, self.fx_s)
         clip = (0.5, 5.0) if self.truncate_depth else None
-        depth = read_depth_png(depth_for_rgb(rgb_path), 1000.0, self.fx_s, clip)
+        # /5000 like TUM: the reference's load path divides by 5e3
+        # (VaryLighting.py:150; its DEPTH_SCALE=1/1000 class attr is unused)
+        depth = read_depth_png(depth_for_rgb(rgb_path), 5000.0, self.fx_s, clip)
         return color, depth
 
     def _pair(self, seq_idx, idx0, idx1) -> Dict[str, np.ndarray]:
@@ -95,3 +97,10 @@ class VaryLighting:
     def get_keypair(self, index, kf_idx: int = 0):
         seq_idx, frame_idx = self._locate(index)
         return self._pair(seq_idx, kf_idx, frame_idx)
+
+    def pair_frames(self, idx0: int, idx1: int, seq_idx: int = 0):
+        """Direct frame-pair access by raw frame indices (VO / BA frontends)."""
+        return self._pair(seq_idx, idx0, idx1)
+
+    def num_frames(self, seq_idx: int = 0) -> int:
+        return len(self.image_seq[seq_idx])

@@ -41,6 +41,10 @@ SUBSET_TRAJECTORIES = {
 
 def eval_trajectories(dataset: str, trajectory: str = "") -> List[str]:
     if trajectory == "":
+        if dataset not in EVAL_TRAJECTORIES:
+            raise ValueError(
+                f"{dataset} has no default eval trajectories; pass --trajectory"
+            )
         return EVAL_TRAJECTORIES[dataset]
     if trajectory in SUBSET_TRAJECTORIES:
         return SUBSET_TRAJECTORIES[trajectory]
@@ -115,10 +119,14 @@ def evaluate_two_view(
         if timers:
             timers.tic("evaluate")
         mask = batch["pad_mask"]
-        Rt = jnp.asarray(batch["transform"])
-        R_gt, t_gt = Rt[:, :3, :3], Rt[:, :3, 3]
         out["R_est"].append(np.asarray(R)[mask])
         out["t_est"].append(np.asarray(t)[mask])
+        if "transform" not in batch:
+            # no ground truth (e.g. VaryLighting): poses only, no metrics
+            objectives = ()
+        else:
+            Rt = jnp.asarray(batch["transform"])
+            R_gt, t_gt = Rt[:, :3, :3], Rt[:, :3, 3]
         if "RPE" in objectives:
             ang, trs = losses.compute_rpe_error(R, t, R_gt, t_gt)
             out["angular_error"].append(np.asarray(ang)[mask])

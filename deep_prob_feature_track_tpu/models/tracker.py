@@ -185,10 +185,12 @@ class LeastSquareTracking(nn.Module):
         I0 = color_normalize_nchw(img0)
         I1 = color_normalize_nchw(img1)
 
-        if cfg.encoder_name == "ConvRGBD2":
+        if cfg.encoder_name == "ConvRGBD2" and not train:
             # both view orders in ONE stacked encoder pass (the reference
             # runs two sequential forwards, LeastSquareTracking.py:666-667;
-            # eval outputs are identical and dispatch count halves)
+            # eval outputs are identical and dispatch count halves).  In
+            # training, two forwards are kept so BatchNorm batch statistics
+            # match the reference's training dynamics exactly.
             B = img0.shape[0]
             m = jnp.concatenate(
                 [
@@ -225,6 +227,8 @@ class LeastSquareTracking(nn.Module):
         if pose_init is None:
             if cfg.predicts_init_pose:
                 R0, t0 = self.pose_predictor(raw0[3], raw1[3], train=train)
+                R0 = R0.astype(jnp.float32)
+                t0 = t0.astype(jnp.float32)
             else:
                 B = invD0.shape[0]
                 R0 = jnp.broadcast_to(jnp.eye(3, dtype=self.dtype), (B, 3, 3))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.image import sobel_gradients
@@ -79,7 +80,7 @@ def jtj_jtr(
     B, C, H, W = residual.shape
     if (
         weights is None
-        and os.environ.get("DPFT_PALLAS")
+        and os.environ.get("DPFT_PALLAS", "0") not in ("", "0")
         and jax.default_backend() not in ("cpu",)
     ):
         from ..ops.pallas.jtj import fused_jtj_jtr

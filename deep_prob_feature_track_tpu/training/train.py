@@ -212,21 +212,29 @@ def train_epoch(
     mesh=None,
     log_every: int = 10,
     logger=None,
+    max_steps: int = 0,
 ) -> Tuple[TrainState, float]:
-    """One epoch over the loader; returns (state, mean loss)."""
-    total, count = 0.0, 0
+    """One epoch over the loader; returns (state, mean loss).
+
+    Losses are kept on device and reduced once at epoch end so the host
+    never blocks the dispatch pipeline mid-epoch (except at ``log_every``
+    boundaries, where one scalar is materialized for logging).
+    """
+    losses = []
     t0 = time.time()
     for i, batch in enumerate(loader):
+        if max_steps and i >= max_steps:
+            break
         batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
         if mesh is not None:
             batch = shard_batch(mesh, batch)
         state, metrics = train_step(state, batch)
-        loss = float(metrics["loss"])
-        total += loss
-        count += 1
+        losses.append(metrics["loss"])
         if logger is not None and i % log_every == 0:
-            logger.scalar("train/loss", loss, int(state.step))
+            logger.scalar("train/loss", float(metrics["loss"]), int(state.step))
             logger.scalar(
                 "train/steps_per_sec", (i + 1) / (time.time() - t0), int(state.step)
             )
-    return state, total / max(count, 1)
+    if not losses:
+        return state, 0.0
+    return state, float(jnp.mean(jnp.stack(losses)))
