@@ -45,11 +45,20 @@ def run_vo(
     forward_fn,
     vo_type: str = "keyframe",
     kf_drift_warn: float = 0.02,
+    kf_switch_dist: float = 0.25,
+    kf_switch_angle: float = 0.35,
     verbose: bool = False,
 ):
     """Track a full sequence.
 
-    :param dataset: test-mode dataset exposing __getitem__ / get_keypair
+    Keyframe mode tracks every frame against the current keyframe and
+    promotes the frame to a new keyframe when the relative motion exceeds
+    ``kf_switch_dist`` (m) or ``kf_switch_angle`` (rad) — the reference
+    demo keeps keyframe 0 forever (kf_vo.py / TUM get_keypair), which only
+    holds up on short sequences; pass ``kf_switch_dist=inf`` to reproduce
+    that behavior.
+
+    :param dataset: test-mode dataset exposing pair_frames / __getitem__
     :param forward_fn: (color0,color1,depth0,depth1,K) -> (R [1,3,3], t [1,3])
     :return: (poses_est [N,4,4] world-from-camera, poses_gt or None)
     """
@@ -60,14 +69,16 @@ def run_vo(
     )
     T_WC = np.eye(4)
     T_WK = np.eye(4)  # world-from-keyframe
+    kf_idx = 0
     poses = [T_WC.copy()]
-    gt_list: Optional[List[np.ndarray]] = None
+    gt_abs = [np.eye(4)]
+    have_gt = True
 
     for i in range(1, n):
         if vo_type == "keyframe":
-            # pair frame i against the keyframe (frame 0): pose[i] then
+            # pair frame i against the current keyframe: pose[i] then
             # corresponds to frame i, aligned with incremental mode
-            item = dataset.pair_frames(0, i)
+            item = dataset.pair_frames(kf_idx, i)
         else:
             item = dataset[i - 1]
         args = tuple(
@@ -75,29 +86,37 @@ def run_vo(
             for k in ("color0", "color1", "depth0", "depth1", "calib")
         )
         R, t = forward_fn(*args)
-        T_CK = np.eye(4)
+        T_CK = np.eye(4)  # live-from-reference
         T_CK[:3, :3] = np.asarray(R)[0]
         T_CK[:3, 3] = np.asarray(t)[0]
         if vo_type == "keyframe":
-            # frame i tracked against keyframe: T_WC = T_WK o inv(T_CK)
             T_WC = T_WK @ np.linalg.inv(T_CK)
         else:
             T_WC = T_WC @ np.linalg.inv(T_CK)
         poses.append(T_WC.copy())
 
         transform = item.get("transform")
-        if transform is not None:
-            if gt_list is None:
-                gt_list = [np.eye(4)]
-            # transform = T_C1_C0; chain GT the same way as the estimate
-            base = gt_list[0] if vo_type == "keyframe" else gt_list[-1]
-            gt_list.append(base @ np.linalg.inv(np.asarray(transform, np.float64)))
-            drift = np.linalg.norm(poses[-1][:3, 3] - gt_list[-1][:3, 3])
+        if transform is None:
+            have_gt = False
+        elif have_gt:
+            # transform chains the GT trajectory the same way as the estimate
+            base = gt_abs[kf_idx] if vo_type == "keyframe" else gt_abs[-1]
+            gt_abs.append(base @ np.linalg.inv(np.asarray(transform, np.float64)))
+            drift = np.linalg.norm(poses[-1][:3, 3] - gt_abs[-1][:3, 3])
             if verbose and drift > kf_drift_warn:
                 print(f"[kf_vo] frame {i}: drift {drift * 100:.2f}cm")
 
+        if vo_type == "keyframe":
+            trs = np.linalg.norm(T_CK[:3, 3])
+            ang = np.arccos(np.clip((np.trace(T_CK[:3, :3]) - 1) / 2, -1, 1))
+            if trs > kf_switch_dist or ang > kf_switch_angle:
+                kf_idx = i
+                T_WK = T_WC.copy()
+                if verbose:
+                    print(f"[kf_vo] frame {i}: new keyframe (|t|={trs:.3f}, ang={ang:.3f})")
+
     poses = np.stack(poses)
-    gt = np.stack(gt_list) if gt_list is not None else None
+    gt = np.stack(gt_abs) if (have_gt and len(gt_abs) == len(poses)) else None
     return poses, gt
 
 

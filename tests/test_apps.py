@@ -144,3 +144,32 @@ def test_ba_refine_cli_sharded(tum_fixture, tmp_path):
     )
     assert rc == 0
     assert np.all(np.isfinite(np.loadtxt(out)))
+
+
+def test_kf_vo_keyframe_switching(tum_fixture, tmp_path):
+    """A tight switch threshold must promote keyframes and stay finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_prob_feature_track_tpu.apps.kf_vo import run_vo
+    from deep_prob_feature_track_tpu.data.tum import TUM
+    from deep_prob_feature_track_tpu.models.presets import get_preset
+    from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
+
+    ds = TUM(root="", category="test", keyframes=[1], select_traj=tum_fixture)
+    net = LeastSquareTracking(cfg=get_preset("RGB"))
+    item = ds[0]
+    ex = tuple(
+        jnp.asarray(item[k][None])
+        for k in ("color0", "color1", "depth0", "depth1", "calib")
+    )
+    variables = net.init(jax.random.PRNGKey(0), *ex, train=False)
+
+    @jax.jit
+    def fwd(c0, c1, d0, d1, K):
+        return net.apply(variables, c0, c1, d0, d1, K, train=False)
+
+    poses, gt = run_vo(ds, fwd, vo_type="keyframe", kf_switch_dist=1e-9)
+    assert poses.shape == (5, 4, 4)
+    assert np.all(np.isfinite(poses))
+    assert gt is not None and gt.shape == (5, 4, 4)
