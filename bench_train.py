@@ -1,0 +1,87 @@
+"""Training-throughput benchmark: full sharded train step (fwd+bwd+Adam).
+
+Prints ONE JSON line with train frames/s for the paper configuration
+(feature preset, EPE3D loss, batch 64, 120x160).  vs_baseline compares to
+the reference implementation's measured train-step throughput on this
+host's CPU (see BENCH_BASELINE.json for the eval-side methodology; the
+train baseline below was measured the same way with backward+Adam).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+# reference torch CPU train step (B=8 fwd+bwd+Adam, scaled per-frame):
+# measured 2026-08-17 at 2.677 s/batch -> 2.99 frames/s (needed a split->clone
+# patch: the reference trains only after fixing its in-place view squeeze)
+BASELINE_TRAIN_FPS = 2.99
+B, H, W = 64, 120, 160
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from deep_prob_feature_track_tpu.models.presets import get_preset
+    from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
+    from deep_prob_feature_track_tpu.training.train import (
+        TrainConfig,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    rng = np.random.RandomState(0)
+    T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    T[:, :3, 3] = rng.randn(B, 3) * 0.01
+    batch = {
+        "color0": rng.rand(B, 3, H, W).astype(np.float32),
+        "color1": rng.rand(B, 3, H, W).astype(np.float32),
+        "depth0": rng.uniform(0.5, 3.0, (B, 1, H, W)).astype(np.float32),
+        "depth1": rng.uniform(0.5, 3.0, (B, 1, H, W)).astype(np.float32),
+        "calib": np.tile([[131.25, 131.25, 79.875, 59.875]], (B, 1)).astype(np.float32),
+        "transform": T,
+        "pad_mask": np.ones((B,), bool),
+    }
+
+    net = LeastSquareTracking(cfg=get_preset("feature"))
+    tcfg = TrainConfig(batch_size=B)
+    opt = make_optimizer(tcfg, steps_per_epoch=100)
+    state = create_train_state(net, opt, batch)
+    step = make_train_step(net, tcfg, opt)
+
+    dev_batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+    state, metrics = step(state, dev_batch)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, dev_batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    fps = B / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_fps_feature_preset_120x160_b64",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_TRAIN_FPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -214,3 +214,33 @@ def test_icp_jacobian_matches_jacfwd(rng):
     np.testing.assert_allclose(
         np.asarray(J_icp[0])[m], np.asarray(jac)[m], rtol=0.05, atol=1e-4
     )
+
+
+def test_forward_warp_jacobian_matches_jacfwd(rng):
+    """U_FC coordinate Jacobians: u6/v6 must equal d(u,v)/d[w, dt] under the
+    perturbation R<-exp(w)R, t<-t+dt (the reference warp_net convention,
+    geometry.py:972-1113)."""
+    from deep_prob_feature_track_tpu.solvers.trust_region import _warp_forward_depth
+
+    B, H, W = 1, 8, 10
+    K = jnp.asarray([[30.0, 32.0, (W - 1) / 2.0, (H - 1) / 2.0]])
+    dpt0 = jnp.asarray(rng.uniform(0.8, 3.0, (B, 1, H, W)))
+    R0 = J.__dict__  # noqa: F841 (keep namespace tidy)
+    from deep_prob_feature_track_tpu.geometry.lie import exp_so3
+
+    w0 = jnp.asarray(rng.randn(B, 3) * 0.1)
+    R_base = exp_so3(w0)
+    t_base = jnp.asarray(rng.randn(B, 3) * 0.1)
+
+    u, v, dpt1, valid, u6, v6 = _warp_forward_depth(dpt0, (R_base, t_base), K)
+
+    def uv_of_xi(xi):
+        dR = exp_so3(xi[None, :3])
+        Rp = dR @ R_base
+        tp = t_base + xi[None, 3:]
+        uu, vv, _, _, _, _ = _warp_forward_depth(dpt0, (Rp, tp), K)
+        return jnp.stack([uu.reshape(-1), vv.reshape(-1)])
+
+    jac = jax.jacfwd(uv_of_xi)(jnp.zeros(6))  # [2, HW, 6]
+    np.testing.assert_allclose(np.asarray(u6[0]), np.asarray(jac[0]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v6[0]), np.asarray(jac[1]), rtol=1e-5, atol=1e-7)
