@@ -66,6 +66,12 @@ def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     exactly (ref geometry.py:353-365): coordinates are clamped to
     ``[0, size-1]`` and bilinearly interpolated.
 
+    The gather runs channels-last so every index moves a contiguous
+    C-vector instead of C scalar lookups — the bilinear gathers are the
+    dominant cost of the whole tracker on TPU, and warping several maps at
+    the same coordinates should be batched into ONE call (stack the maps
+    on the channel axis, or use :func:`warp_multi`).
+
     :param F: ``[B,C,H,W]``; u, v: ``[B,1,H',W']`` (or ``[B,HW]``)
     :return: ``[B,C,H',W']``
     """
@@ -84,26 +90,43 @@ def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     u1i = jnp.minimum(u0i + 1, W - 1)
     v1i = jnp.minimum(v0i + 1, H - 1)
 
-    flat = F.reshape(B, C, H * W)
+    flat = jnp.swapaxes(F.reshape(B, C, H * W), 1, 2)  # [B, HW, C]
 
     def gather(vi, ui):
         idx = vi * W + ui  # [B, N]
-        return jnp.take_along_axis(flat, idx[:, None, :], axis=2)  # [B,C,N]
+        return jnp.take_along_axis(flat, idx[:, :, None], axis=1)  # [B,N,C]
 
     f00 = gather(v0i, u0i)
     f01 = gather(v0i, u1i)
     f10 = gather(v1i, u0i)
     f11 = gather(v1i, u1i)
-    du = du[:, None, :]
-    dv = dv[:, None, :]
+    du = du[:, :, None]
+    dv = dv[:, :, None]
     out = (
         f00 * (1 - du) * (1 - dv)
         + f01 * du * (1 - dv)
         + f10 * (1 - du) * dv
         + f11 * du * dv
     )
+    out = jnp.swapaxes(out, 1, 2)  # [B,C,N]
     if len(out_shape) == 4:
         return out.reshape(B, C, out_shape[2], out_shape[3])
+    return out
+
+
+def warp_multi(maps, u: jnp.ndarray, v: jnp.ndarray):
+    """Warp several [B,Ci,H,W] maps at the same coordinates in ONE gather.
+
+    :return: list of warped maps matching the inputs' channel counts
+    """
+    sizes = [m.shape[1] for m in maps]
+    stacked = jnp.concatenate(maps, axis=1)
+    warped = warp_features(stacked, u, v)
+    out = []
+    start = 0
+    for c in sizes:
+        out.append(warped[:, start : start + c])
+        start += c
     return out
 
 

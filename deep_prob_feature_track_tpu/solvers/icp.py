@@ -77,8 +77,11 @@ def icp_residuals_inverse(
 
     u_map = u_.reshape(B, 1, H, W_)
     v_map = v_.reshape(B, 1, H, W_)
-    r_vertex1 = W.warp_features(vertex1, u_map, v_map)
-    r_normal1 = W.warp_features(normal1, u_map, v_map)
+    maps = [vertex1, normal1]
+    if obj_mask1 is not None:
+        maps.append(obj_mask1.astype(jnp.float32))
+    warped = W.warp_multi(maps, u_map, v_map)  # one fused gather
+    r_vertex1, r_normal1 = warped[0], warped[1]
 
     diff = v0_in_1 - r_vertex1.reshape(B, 3, hw)
     occ = ~inviews.reshape(B, 1, H, W_) | (
@@ -87,8 +90,7 @@ def icp_residuals_inverse(
     if obj_mask0 is not None:
         occ = occ | ~obj_mask0.astype(jnp.bool_)
     if obj_mask1 is not None:
-        warped_m1 = W.warp_features(obj_mask1.astype(jnp.float32), u_map, v_map)
-        occ = occ | ~(warped_m1 > 0)
+        occ = occ | ~(warped[2] > 0)
 
     res = (r_normal1.reshape(B, 3, hw) * diff).sum(axis=1).reshape(B, 1, H, W_)
 
@@ -136,8 +138,7 @@ def icp_residuals_forward(
 
     u_map = u_.reshape(B, 1, H, W_)
     v_map = v_.reshape(B, 1, H, W_)
-    r_vertex1 = W.warp_features(vertex1, u_map, v_map)
-    r_normal1 = W.warp_features(normal1, u_map, v_map)
+    r_vertex1, r_normal1 = W.warp_multi([vertex1, normal1], u_map, v_map)
 
     diff = v0_in_1 - r_vertex1.reshape(B, 3, hw)
     occ = ~inviews.reshape(B, 1, H, W_) | (

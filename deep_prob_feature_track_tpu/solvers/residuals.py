@@ -103,14 +103,42 @@ def compute_inverse_residuals(
 
     Reference: algorithms.py:1992-2015.  Also returns the warped (u, v) so
     callers can reuse the warp.
+
+    The occlusion depth, feature map, uncertainty map (and object mask)
+    are all sampled at the same coordinates, so they warp in ONE fused
+    channels-last gather — the gathers dominate the tracker's runtime on
+    TPU (the reference issues them as separate grid_sample calls).
     """
     u, v, inv_z = W.batch_warp_inverse_depth(px, py, invD0, pose10, K)
-    occ = W.check_occ(inv_z, invD1, u, v)
-    occ = merge_object_masks(occ, u, v, obj_mask0, obj_mask1)
-    out = compose_residuals(
-        u, v, occ, x0, x1, sigma0, sigma1, eps=1e-6, remove_tru_sigma=remove_tru_sigma
-    )
-    return out, u, v
+
+    maps = [invD1, x1, sigma1]
+    if obj_mask1 is not None:
+        maps.append(obj_mask1.astype(x1.dtype))
+    warped = W.warp_multi(maps, u, v)
+    invD1_w, f_r, sigma_r = warped[0], warped[1], warped[2]
+
+    # z-buffer occlusion + out-of-view (ref geometry.py:334-350)
+    _, _, H, W_ = invD1.shape
+    inlier = inv_z > (invD1_w - 1e-1)
+    occ = ~(inlier & (u > 0) & (u < W_) & (v > 0) & (v < H))
+    if obj_mask0 is not None:
+        occ = occ | ~obj_mask0.astype(jnp.bool_)
+    if obj_mask1 is not None:
+        occ = occ | ~(warped[3] > 0)
+
+    res = f_r - x0
+    sigma = jnp.sqrt(sigma_r * sigma_r + sigma0 * sigma0)
+    weighted = res / sigma
+    if remove_tru_sigma:
+        sigma_tru = (
+            (sigma_r == sigma_r.min())
+            | (sigma_r == sigma_r.max())
+            | (sigma0 == sigma0.min())
+            | (sigma0 == sigma0.max())
+        )
+        occ = occ | sigma_tru[:, 0:1]
+    weighted = jnp.where(occ, 1e-6, weighted)
+    return ResidualOutput(weighted, res, sigma, occ), u, v
 
 
 def compute_warped_residual(

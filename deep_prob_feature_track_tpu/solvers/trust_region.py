@@ -453,12 +453,10 @@ def tr_ufc_level(
         u, v, dpt_r, depth_valid, u6, v6 = _warp_forward_depth(dpt0, p, K)
         occ = W.check_occ(dpt_r, dpt1, u, v) | ~depth_valid
         out = compose_residuals(u, v, occ, x0, x1, sigma0, sigma1)
-        sigma_r = W.warp_features(sigma1, u, v)
-        # interpolated gradients at warped coordinates
-        a_f = W.warp_features(gxf1, u, v)
-        b_f = W.warp_features(gyf1, u, v)
-        a_s = W.warp_features(gxs1, u, v)
-        b_s = W.warp_features(gys1, u, v)
+        # one fused gather: sigma + four interpolated gradient maps
+        sigma_r, a_f, b_f, a_s, b_s = W.warp_multi(
+            [sigma1, gxf1, gyf1, gxs1, gys1], u, v
+        )
         sigma3 = out.sigma**3
         scale = out.res * sigma_r / sigma3
         alpha = jnp.where(out.invalid, 1e-6, a_f / out.sigma - scale * a_s)
