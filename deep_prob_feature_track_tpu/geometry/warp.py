@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -81,32 +82,37 @@ def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     vf = v.reshape(B, -1)
     uf = jnp.clip(uf, 0.0, W - 1.0)
     vf = jnp.clip(vf, 0.0, H - 1.0)
-    u0 = jnp.floor(uf)
-    v0 = jnp.floor(vf)
-    du = uf - u0
-    dv = vf - v0
-    u0i = u0.astype(jnp.int32)
-    v0i = v0.astype(jnp.int32)
-    u1i = jnp.minimum(u0i + 1, W - 1)
-    v1i = jnp.minimum(v0i + 1, H - 1)
+    # clamp the slice START to size-2 so a (2,2) corner window always fits;
+    # a coordinate exactly at the border then gets fractional weight 1 on
+    # the far corner — identical values, no special-casing
+    u0 = jnp.minimum(jnp.floor(uf), W - 2.0)
+    v0 = jnp.minimum(jnp.floor(vf), H - 2.0)
+    du = (uf - u0)[:, :, None]  # in [0, 1]
+    dv = (vf - v0)[:, :, None]
 
-    flat = jnp.swapaxes(F.reshape(B, C, H * W), 1, 2)  # [B, HW, C]
+    starts = jnp.stack([v0.astype(jnp.int32), u0.astype(jnp.int32)], axis=-1)  # [B,N,2]
+    operand = jnp.transpose(F, (0, 2, 3, 1))  # [B,H,W,C] channels-last
 
-    def gather(vi, ui):
-        idx = vi * W + ui  # [B, N]
-        return jnp.take_along_axis(flat, idx[:, :, None], axis=1)  # [B,N,C]
-
-    f00 = gather(v0i, u0i)
-    f01 = gather(v0i, u1i)
-    f10 = gather(v1i, u0i)
-    f11 = gather(v1i, u1i)
-    du = du[:, :, None]
-    dv = dv[:, :, None]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    # ONE gather: all four bilinear corners as a (2,2,C) slice per index
+    corners = jax.lax.gather(
+        operand,
+        starts,
+        dnums,
+        slice_sizes=(1, 2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [B,N,2,2,C]
     out = (
-        f00 * (1 - du) * (1 - dv)
-        + f01 * du * (1 - dv)
-        + f10 * (1 - du) * dv
-        + f11 * du * dv
+        corners[:, :, 0, 0] * (1 - du) * (1 - dv)
+        + corners[:, :, 0, 1] * du * (1 - dv)
+        + corners[:, :, 1, 0] * (1 - du) * dv
+        + corners[:, :, 1, 1] * du * dv
     )
     out = jnp.swapaxes(out, 1, 2)  # [B,C,N]
     if len(out_shape) == 4:
