@@ -76,12 +76,20 @@ def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     :param F: ``[B,C,H,W]``; u, v: ``[B,1,H',W']`` (or ``[B,HW]``)
     :return: ``[B,C,H',W']``
     """
-    B, C, H, W = F.shape
-    out_shape = u.shape  # [B,1,H',W']
-    uf = u.reshape(B, -1)
-    vf = v.reshape(B, -1)
-    uf = jnp.clip(uf, 0.0, W - 1.0)
-    vf = jnp.clip(vf, 0.0, H - 1.0)
+    operand = jnp.transpose(F, (0, 2, 3, 1))  # [B,H,W,C] channels-last
+    out = _bilinear_gather_cl(operand, u, v)  # [B,N,C]
+    out = jnp.swapaxes(out, 1, 2)  # [B,C,N]
+    out_shape = u.shape
+    if len(out_shape) == 4:
+        return out.reshape(F.shape[0], F.shape[1], out_shape[2], out_shape[3])
+    return out
+
+
+def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Core bilinear gather on a channels-last operand [B,H,W,C] -> [B,N,C]."""
+    B, H, W, C = operand.shape
+    uf = jnp.clip(u.reshape(B, -1), 0.0, W - 1.0)
+    vf = jnp.clip(v.reshape(B, -1), 0.0, H - 1.0)
     # clamp the slice START to size-2 so a (2,2) corner window always fits;
     # a coordinate exactly at the border then gets fractional weight 1 on
     # the far corner — identical values, no special-casing
@@ -91,8 +99,6 @@ def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     dv = (vf - v0)[:, :, None]
 
     starts = jnp.stack([v0.astype(jnp.int32), u0.astype(jnp.int32)], axis=-1)  # [B,N,2]
-    operand = jnp.transpose(F, (0, 2, 3, 1))  # [B,H,W,C] channels-last
-
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(2, 3, 4),
         collapsed_slice_dims=(),
@@ -108,16 +114,40 @@ def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
         slice_sizes=(1, 2, 2, C),
         mode=jax.lax.GatherScatterMode.CLIP,
     )  # [B,N,2,2,C]
-    out = (
+    return (
         corners[:, :, 0, 0] * (1 - du) * (1 - dv)
         + corners[:, :, 0, 1] * du * (1 - dv)
         + corners[:, :, 1, 0] * (1 - du) * dv
         + corners[:, :, 1, 1] * du * dv
     )
-    out = jnp.swapaxes(out, 1, 2)  # [B,C,N]
-    if len(out_shape) == 4:
-        return out.reshape(B, C, out_shape[2], out_shape[3])
-    return out
+
+
+def make_warp_operand(maps):
+    """Build a reusable channels-last operand for repeated warps.
+
+    The target maps of a GN solve are loop-invariant — build the stacked
+    channels-last operand once per level and only the gather runs per
+    iteration.
+
+    :return: (operand [B,H,W,Ctot], sizes)
+    """
+    sizes = [m.shape[1] for m in maps]
+    stacked = jnp.concatenate(maps, axis=1)
+    return jnp.transpose(stacked, (0, 2, 3, 1)), sizes
+
+
+def warp_operand(operand, sizes, u, v):
+    """Warp a prebuilt channels-last operand; returns per-map [B,Ci,H',W']."""
+    out = jnp.swapaxes(_bilinear_gather_cl(operand, u, v), 1, 2)  # [B,Ctot,N]
+    B = operand.shape[0]
+    h, w = u.shape[2], u.shape[3]
+    out = out.reshape(B, -1, h, w)
+    pieces = []
+    start = 0
+    for c in sizes:
+        pieces.append(out[:, start : start + c])
+        start += c
+    return pieces
 
 
 def warp_multi(maps, u: jnp.ndarray, v: jnp.ndarray):
@@ -125,15 +155,8 @@ def warp_multi(maps, u: jnp.ndarray, v: jnp.ndarray):
 
     :return: list of warped maps matching the inputs' channel counts
     """
-    sizes = [m.shape[1] for m in maps]
-    stacked = jnp.concatenate(maps, axis=1)
-    warped = warp_features(stacked, u, v)
-    out = []
-    start = 0
-    for c in sizes:
-        out.append(warped[:, start : start + c])
-        start += c
-    return out
+    operand, sizes = make_warp_operand(maps)
+    return warp_operand(operand, sizes, u, v)
 
 
 def grad_bilinear_interpolation(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):

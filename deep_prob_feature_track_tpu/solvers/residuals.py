@@ -98,6 +98,7 @@ def compute_inverse_residuals(
     obj_mask0=None,
     obj_mask1=None,
     remove_tru_sigma: bool = False,
+    warp_op=None,
 ) -> Tuple[ResidualOutput, jnp.ndarray, jnp.ndarray]:
     """Full inverse-compositional residual: warp + occlusion + compose.
 
@@ -107,14 +108,15 @@ def compute_inverse_residuals(
     The occlusion depth, feature map, uncertainty map (and object mask)
     are all sampled at the same coordinates, so they warp in ONE fused
     channels-last gather — the gathers dominate the tracker's runtime on
-    TPU (the reference issues them as separate grid_sample calls).
+    TPU (the reference issues them as separate grid_sample calls).  Pass
+    ``warp_op`` (from :func:`build_inverse_warp_operand`) to reuse the
+    stacked operand across GN iterations.
     """
     u, v, inv_z = W.batch_warp_inverse_depth(px, py, invD0, pose10, K)
 
-    maps = [invD1, x1, sigma1]
-    if obj_mask1 is not None:
-        maps.append(obj_mask1.astype(x1.dtype))
-    warped = W.warp_multi(maps, u, v)
+    if warp_op is None:
+        warp_op = build_inverse_warp_operand(invD1, x1, sigma1, obj_mask1)
+    warped = W.warp_operand(warp_op[0], warp_op[1], u, v)
     invD1_w, f_r, sigma_r = warped[0], warped[1], warped[2]
 
     # z-buffer occlusion + out-of-view (ref geometry.py:334-350)
@@ -139,6 +141,15 @@ def compute_inverse_residuals(
         occ = occ | sigma_tru[:, 0:1]
     weighted = jnp.where(occ, 1e-6, weighted)
     return ResidualOutput(weighted, res, sigma, occ), u, v
+
+
+def build_inverse_warp_operand(invD1, x1, sigma1, obj_mask1=None):
+    """Stacked channels-last operand of all target maps warped by the U_IC
+    iteration (loop-invariant: build once per level)."""
+    maps = [invD1, x1, sigma1]
+    if obj_mask1 is not None:
+        maps.append(obj_mask1.astype(x1.dtype))
+    return W.make_warp_operand(maps)
 
 
 def compute_warped_residual(

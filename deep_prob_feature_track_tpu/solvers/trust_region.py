@@ -173,6 +173,11 @@ def tr_uic_level(
         normal1 = compute_normal(vertex1)
 
     pre = precompute_uic(invD0, x0, sigma0, px, py, K)
+    from .residuals import build_inverse_warp_operand
+
+    # the warped target maps are loop-invariant: stack them channels-last
+    # once; each GN iteration then runs a single fused gather
+    warp_op = build_inverse_warp_operand(invD1, x1, sigma1, obj_mask1)
 
     w_icp = None
     if combine_icp:
@@ -181,7 +186,7 @@ def tr_uic_level(
         out0, _, _ = compute_inverse_residuals(
             pose, invD0, invD1, x0, x1, sigma0, sigma1, px, py, K,
             obj_mask0=obj_mask0, obj_mask1=obj_mask1,
-            remove_tru_sigma=remove_tru_sigma,
+            remove_tru_sigma=remove_tru_sigma, warp_op=warp_op,
         )
         icp_res0, _, _ = icp_mod.icp_residuals_inverse(
             vertex0, vertex1, normal1, pose, K,
@@ -197,7 +202,7 @@ def tr_uic_level(
         out, _, _ = compute_inverse_residuals(
             p, invD0, invD1, x0, x1, sigma0, sigma1, px, py, K,
             obj_mask0=obj_mask0, obj_mask1=obj_mask1,
-            remove_tru_sigma=remove_tru_sigma,
+            remove_tru_sigma=remove_tru_sigma, warp_op=warp_op,
         )
         fac = uic_factors(pre, out.res, out.sigma, sigma0)
         JtWJ, JtR = jtj_jtr(fac, out.weighted_res)
