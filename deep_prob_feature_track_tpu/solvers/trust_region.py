@@ -446,21 +446,31 @@ def tr_ufc_level(
     with the same overall sign flip and forward pose update.
     """
     from ..ops.image import sobel_gradients
-    from .residuals import compose_residuals
+
 
     B, C, H, W_ = x0.shape
     gxf1, gyf1 = sobel_gradients(x1)
     gxs1, gys1 = sobel_gradients(sigma1)
+    # loop-invariant target maps: one channels-last operand, one gather/iter
+    ufc_op, ufc_sizes = W.make_warp_operand(
+        [dpt1, x1, sigma1, gxf1, gyf1, gxs1, gys1]
+    )
 
     def gn_iteration(_, carry):
         R, t, _ = carry
         p = (R, t)
         u, v, dpt_r, depth_valid, u6, v6 = _warp_forward_depth(dpt0, p, K)
-        occ = W.check_occ(dpt_r, dpt1, u, v) | ~depth_valid
-        out = compose_residuals(u, v, occ, x0, x1, sigma0, sigma1)
-        # one fused gather: sigma + four interpolated gradient maps
-        sigma_r, a_f, b_f, a_s, b_s = W.warp_multi(
-            [sigma1, gxf1, gyf1, gxs1, gys1], u, v
+        (dpt1_w, f_r, sigma_r, a_f, b_f, a_s, b_s) = W.warp_operand(
+            ufc_op, ufc_sizes, u, v
+        )
+        inlier = dpt_r > (dpt1_w - 1e-1)
+        occ = ~(inlier & (u > 0) & (u < W_) & (v > 0) & (v < H)) | ~depth_valid
+        res = f_r - x0
+        sigma = jnp.sqrt(sigma_r * sigma_r + sigma0 * sigma0)
+        from .residuals import ResidualOutput
+
+        out = ResidualOutput(
+            jnp.where(occ, 1e-6, res / sigma), res, sigma, occ
         )
         sigma3 = out.sigma**3
         scale = out.res * sigma_r / sigma3
