@@ -147,9 +147,19 @@ def compute_loss(
 
 
 def make_train_step(
-    net: LeastSquareTracking, train_cfg: TrainConfig, optimizer, mesh=None
+    net: LeastSquareTracking,
+    train_cfg: TrainConfig,
+    optimizer,
+    mesh=None,
+    guard_nonfinite: bool = False,
 ) -> Callable:
-    """Build the jitted (and mesh-sharded, if given) train step."""
+    """Build the jitted (and mesh-sharded, if given) train step.
+
+    :param guard_nonfinite: skip the parameter/optimizer update whenever the
+        loss or gradients are non-finite (the batch is consumed but the
+        state is untouched) — keeps long unattended runs alive through
+        pathological batches; 'skipped' in the metrics flags it.
+    """
 
     def step_fn(state: TrainState, batch):
         def loss_fn(params):
@@ -160,13 +170,23 @@ def make_train_step(
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        if guard_nonfinite:
+            ok = jnp.isfinite(loss) & jnp.isfinite(metrics["grad_norm"])
+            keep = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b), new, old
+            )
+            new_params = keep(new_params, state.params)
+            new_opt = keep(new_opt, state.opt_state)
+            new_stats = keep(new_stats, state.batch_stats)
+            metrics["skipped"] = ~ok
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
         )
-        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
 
     if mesh is None:
         return jax.jit(step_fn)

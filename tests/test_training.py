@@ -149,3 +149,25 @@ def test_orbax_checkpoint_roundtrip(rng, tmp_path):
     fresh = create_train_state(net, opt, batch)
     restored = checkpoints.restore_orbax(path, fresh)
     assert int(restored.step) == 1
+
+
+def test_guard_nonfinite_skips_bad_batch(rng):
+    cfg = get_preset("RGB")
+    net = LeastSquareTracking(cfg=cfg)
+    tcfg = TrainConfig()
+    opt = make_optimizer(tcfg, steps_per_epoch=10)
+    batch = synthetic_batch(rng, H=16, W=20)
+    state = create_train_state(net, opt, batch)
+    step = make_train_step(net, tcfg, opt, guard_nonfinite=True)
+
+    bad = dict(batch)
+    bad["color0"] = np.full_like(batch["color0"], np.nan)
+    state1, metrics = step(state, bad)
+    assert bool(metrics["skipped"])
+    # params untouched, but the step counter advanced
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state1.step) == int(state.step) + 1
+
+    state2, metrics2 = step(state1, batch)
+    assert not bool(metrics2["skipped"])
