@@ -77,8 +77,7 @@ def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     :return: ``[B,C,H',W']``
     """
     operand = jnp.transpose(F, (0, 2, 3, 1))  # [B,H,W,C] channels-last
-    out = _bilinear_gather_cl(operand, u, v)  # [B,N,C]
-    out = jnp.swapaxes(out, 1, 2)  # [B,C,N]
+    out = _bilinear_gather_cl(operand, u, v)  # [B,C,N]
     out_shape = u.shape
     if len(out_shape) == 4:
         return out.reshape(F.shape[0], F.shape[1], out_shape[2], out_shape[3])
@@ -86,7 +85,13 @@ def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
 
 
 def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    """Core bilinear gather on a channels-last operand [B,H,W,C] -> [B,N,C]."""
+    """Core bilinear gather on a channels-last operand [B,H,W,C] -> [B,C,N].
+
+    The gather emits [B,2,2,C,N] (offset dims leading) so the long pixel
+    axis is the 128-lane dimension — emitting [B,N,2,2,C] instead makes the
+    TPU layout pad the tiny trailing dims to tile boundaries, inflating the
+    intermediate ~60x and OOMing training batches.
+    """
     B, H, W, C = operand.shape
     uf = jnp.clip(u.reshape(B, -1), 0.0, W - 1.0)
     vf = jnp.clip(v.reshape(B, -1), 0.0, H - 1.0)
@@ -95,12 +100,12 @@ def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     # the far corner — identical values, no special-casing
     u0 = jnp.minimum(jnp.floor(uf), W - 2.0)
     v0 = jnp.minimum(jnp.floor(vf), H - 2.0)
-    du = (uf - u0)[:, :, None]  # in [0, 1]
-    dv = (vf - v0)[:, :, None]
+    du = (uf - u0)[:, None, :]  # [B,1,N] in [0, 1]
+    dv = (vf - v0)[:, None, :]
 
     starts = jnp.stack([v0.astype(jnp.int32), u0.astype(jnp.int32)], axis=-1)  # [B,N,2]
     dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4),
+        offset_dims=(1, 2, 3),
         collapsed_slice_dims=(),
         start_index_map=(1, 2),
         operand_batching_dims=(0,),
@@ -113,12 +118,12 @@ def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
         dnums,
         slice_sizes=(1, 2, 2, C),
         mode=jax.lax.GatherScatterMode.CLIP,
-    )  # [B,N,2,2,C]
+    )  # [B,2,2,C,N]
     return (
-        corners[:, :, 0, 0] * (1 - du) * (1 - dv)
-        + corners[:, :, 0, 1] * du * (1 - dv)
-        + corners[:, :, 1, 0] * (1 - du) * dv
-        + corners[:, :, 1, 1] * du * dv
+        corners[:, 0, 0] * (1 - du) * (1 - dv)
+        + corners[:, 0, 1] * du * (1 - dv)
+        + corners[:, 1, 0] * (1 - du) * dv
+        + corners[:, 1, 1] * du * dv
     )
 
 
@@ -138,7 +143,7 @@ def make_warp_operand(maps):
 
 def warp_operand(operand, sizes, u, v):
     """Warp a prebuilt channels-last operand; returns per-map [B,Ci,H',W']."""
-    out = jnp.swapaxes(_bilinear_gather_cl(operand, u, v), 1, 2)  # [B,Ctot,N]
+    out = _bilinear_gather_cl(operand, u, v)  # [B,Ctot,N]
     B = operand.shape[0]
     h, w = u.shape[2], u.shape[3]
     out = out.reshape(B, -1, h, w)
