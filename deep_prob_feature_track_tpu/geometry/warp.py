@@ -84,15 +84,9 @@ def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     return out
 
 
-def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    """Core bilinear gather on a channels-last operand [B,H,W,C] -> [B,C,N].
-
-    The gather emits [B,2,2,C,N] (offset dims leading) so the long pixel
-    axis is the 128-lane dimension — emitting [B,N,2,2,C] instead makes the
-    TPU layout pad the tiny trailing dims to tile boundaries, inflating the
-    intermediate ~60x and OOMing training batches.
-    """
-    B, H, W, C = operand.shape
+def _corner_weights(operand_shape, u, v):
+    """Shared coordinate prep: clamp, slice-start clamp, weights."""
+    B, H, W, C = operand_shape
     uf = jnp.clip(u.reshape(B, -1), 0.0, W - 1.0)
     vf = jnp.clip(v.reshape(B, -1), 0.0, H - 1.0)
     # clamp the slice START to size-2 so a (2,2) corner window always fits;
@@ -102,8 +96,18 @@ def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     v0 = jnp.minimum(jnp.floor(vf), H - 2.0)
     du = (uf - u0)[:, None, :]  # [B,1,N] in [0, 1]
     dv = (vf - v0)[:, None, :]
+    starts = jnp.stack([v0.astype(jnp.int32), u0.astype(jnp.int32)], axis=-1)
+    return starts, du, dv, uf, vf
 
-    starts = jnp.stack([v0.astype(jnp.int32), u0.astype(jnp.int32)], axis=-1)  # [B,N,2]
+
+def _gather_corners(operand, starts):
+    """[B,H,W,C] + [B,N,2] -> corner slices [B,2,2,C,N].
+
+    The gather emits offset dims leading so the long pixel axis is the
+    128-lane dimension — emitting [B,N,2,2,C] instead makes the TPU layout
+    pad the tiny trailing dims to tile boundaries (~60x inflation, OOM).
+    """
+    C = operand.shape[3]
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3),
         collapsed_slice_dims=(),
@@ -111,20 +115,91 @@ def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
         operand_batching_dims=(0,),
         start_indices_batching_dims=(0,),
     )
-    # ONE gather: all four bilinear corners as a (2,2,C) slice per index
-    corners = jax.lax.gather(
+    return jax.lax.gather(
         operand,
         starts,
         dnums,
         slice_sizes=(1, 2, 2, C),
         mode=jax.lax.GatherScatterMode.CLIP,
-    )  # [B,2,2,C,N]
+    )
+
+
+def _blend(corners, du, dv):
     return (
         corners[:, 0, 0] * (1 - du) * (1 - dv)
         + corners[:, 0, 1] * du * (1 - dv)
         + corners[:, 1, 0] * (1 - du) * dv
         + corners[:, 1, 1] * du * dv
     )
+
+
+@jax.custom_vjp
+def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Core bilinear gather on a channels-last operand [B,H,W,C] -> [B,C,N].
+
+    Custom VJP: XLA's automatic gather transpose materializes the corner
+    cotangents in the [B,N,2,2,C] layout (the exact tiling blow-up the
+    forward avoids), OOMing training; the hand-written backward re-gathers
+    the corners (cheaper than saving them) and scatter-adds per-corner
+    [B,N,C] updates instead.
+    """
+    starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
+    return _blend(_gather_corners(operand, starts), du, dv)
+
+
+def _bilinear_gather_fwd(operand, u, v):
+    out = _bilinear_gather_cl(operand, u, v)
+    return out, (operand, u, v)
+
+
+def _bilinear_gather_bwd(res, g):
+    operand, u, v = res
+    B, H, W, C = operand.shape
+    starts, du, dv, uf, vf = _corner_weights(operand.shape, u, v)
+    corners = _gather_corners(operand, starts)  # recompute: cheaper than saving
+
+    # d out / d coordinates (within-cell bilinear derivative)
+    gx_map = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dv) + (
+        corners[:, 1, 1] - corners[:, 1, 0]
+    ) * dv  # [B,C,N]
+    gy_map = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - du) + (
+        corners[:, 1, 1] - corners[:, 0, 1]
+    ) * du
+    g_u = jnp.sum(g * gx_map, axis=1)  # [B,N]
+    g_v = jnp.sum(g * gy_map, axis=1)
+    # clip passes gradient on the closed interval (jnp.clip VJP semantics)
+    u_in = u.reshape(B, -1)
+    v_in = v.reshape(B, -1)
+    g_u = jnp.where((u_in >= 0) & (u_in <= W - 1), g_u, 0.0)
+    g_v = jnp.where((v_in >= 0) & (v_in <= H - 1), g_v, 0.0)
+
+    # d out / d operand: four scatter-adds of weighted cotangents.
+    g_nc = jnp.swapaxes(g, 1, 2)  # [B,N,C]
+    w = {
+        (0, 0): (1 - du) * (1 - dv),
+        (0, 1): du * (1 - dv),
+        (1, 0): (1 - du) * dv,
+        (1, 1): du * dv,
+    }
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(2,),
+        inserted_window_dims=(1, 2),
+        scatter_dims_to_operand_dims=(1, 2),
+        operand_batching_dims=(0,),
+        scatter_indices_batching_dims=(0,),
+    )
+    d_op = jnp.zeros_like(operand)
+    for (dy, dx), w_ij in w.items():
+        idx = starts + jnp.asarray([dy, dx], starts.dtype)
+        updates = g_nc * jnp.swapaxes(w_ij, 1, 2)  # [B,N,C]
+        d_op = jax.lax.scatter_add(
+            d_op, idx, updates, dnums,
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+    return d_op, g_u.reshape(u.shape), g_v.reshape(v.shape)
+
+
+_bilinear_gather_cl.defvjp(_bilinear_gather_fwd, _bilinear_gather_bwd)
 
 
 def make_warp_operand(maps):

@@ -117,8 +117,9 @@ def test_grad_bilinear_matches_autodiff(rng):
     assert not np.any(np.asarray(invalid))
 
     # autodiff wrt a scalar shift of u (and v) at each sample point
-    ju = jax.jacfwd(lambda du: warp.warp_features(F, u + du, v))(0.0)
-    jv = jax.jacfwd(lambda dv: warp.warp_features(F, u, v + dv))(0.0)
+    # (reverse mode: the sampler's custom VJP does not define a JVP)
+    ju = jax.jacrev(lambda du: warp.warp_features(F, u + du, v))(0.0)
+    jv = jax.jacrev(lambda dv: warp.warp_features(F, u, v + dv))(0.0)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(ju), atol=1e-6)
     np.testing.assert_allclose(np.asarray(gy), np.asarray(jv), atol=1e-6)
 
@@ -129,3 +130,47 @@ def test_grad_bilinear_invalid_mask(rng):
     v = jnp.asarray([[[[2.0, 5.5]]]])
     _, _, invalid = warp.grad_bilinear_interpolation(F, u, v)
     assert np.asarray(invalid)[0, 0, 0].tolist() == [True, True]  # oob u; v==H-0.5>H-1
+
+
+def test_warp_features_custom_vjp_matches_autodiff(rng):
+    """The hand-written backward must equal reference autodiff grads."""
+    import jax
+
+    B, C, H, W = 2, 3, 9, 11
+    F = jnp.asarray(rng.randn(B, C, H, W))
+    u = jnp.asarray(rng.uniform(-1.0, W, (B, 1, 4, 5)))
+    v = jnp.asarray(rng.uniform(-1.0, H, (B, 1, 4, 5)))
+    t = jnp.asarray(rng.randn(B, C, 4, 5))  # random cotangent direction
+
+    def naive(F_, u_, v_):
+        """take_along_axis bilinear reference (plain autodiff)."""
+        uf = jnp.clip(u_.reshape(B, -1), 0.0, W - 1.0)
+        vf = jnp.clip(v_.reshape(B, -1), 0.0, H - 1.0)
+        u0 = jnp.floor(uf)
+        v0 = jnp.floor(vf)
+        du = (uf - u0)[:, None]
+        dv = (vf - v0)[:, None]
+        u0i = u0.astype(jnp.int32)
+        v0i = v0.astype(jnp.int32)
+        u1i = jnp.minimum(u0i + 1, W - 1)
+        v1i = jnp.minimum(v0i + 1, H - 1)
+        flat = F_.reshape(B, C, H * W)
+        g = lambda vi, ui: jnp.take_along_axis(flat, (vi * W + ui)[:, None], axis=2)
+        out = (
+            g(v0i, u0i) * (1 - du) * (1 - dv)
+            + g(v0i, u1i) * du * (1 - dv)
+            + g(v1i, u0i) * (1 - du) * dv
+            + g(v1i, u1i) * du * dv
+        )
+        return out.reshape(B, C, 4, 5)
+
+    def loss_ours(F_, u_, v_):
+        return jnp.sum(warp.warp_features(F_, u_, v_) * t)
+
+    def loss_ref(F_, u_, v_):
+        return jnp.sum(naive(F_, u_, v_) * t)
+
+    g_ours = jax.grad(loss_ours, argnums=(0, 1, 2))(F, u, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(F, u, v)
+    for a, b in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
