@@ -258,6 +258,7 @@ class LeastSquareTracking(nn.Module):
                 max_iter=cfg.max_iter_per_pyr,
                 remove_tru_sigma=cfg.remove_tru_sigma,
                 combine_icp=cfg.combine_icp,
+                unroll=train,  # scan-residual layouts pad badly in backprop
             )
             return pose, weights, JtWJ
         if tt == "IC":
@@ -269,7 +270,7 @@ class LeastSquareTracking(nn.Module):
             pose, weights = TR.tr_ic_level(
                 pose, x0, x1, inv_d0, inv_d1, K_l, mest_fn, self._solver(level),
                 w_prior=w_prior, obj_mask0=m0, obj_mask1=m1,
-                max_iter=cfg.max_iter_per_pyr,
+                max_iter=cfg.max_iter_per_pyr, unroll=train,
             )
             return pose, weights, None
         if tt == "U_FC":
@@ -282,14 +283,14 @@ class LeastSquareTracking(nn.Module):
                 pose, x0, x1, dpt0, dpt1, K_l, sigma0, sigma1,
                 mest_fn, self._solver(level), w_prior=w_prior, obj_mask1=m1,
                 max_iter=cfg.max_iter_per_pyr,
-                unroll=cfg.mest_type != "None",  # flax module inside the body
+                unroll=train or cfg.mest_type != "None",
             )
             return pose, weights, None
         if tt == "ICP":
             pose, weights = TR.tr_icp_level(
                 pose, dpt0, dpt1, K_l, w_prior=w_prior, obj_mask1=m1,
                 max_iter=cfg.max_iter_per_pyr, direction=cfg.direction,
-                sigma_model=ICPSigmaModel(baseline=1.0),
+                sigma_model=ICPSigmaModel(baseline=1.0), unroll=train,
             )
             return pose, weights, None
         raise ValueError(tt)

@@ -157,12 +157,18 @@ def tr_uic_level(
     remove_tru_sigma: bool = False,
     combine_icp: bool = False,
     icp_sigma: icp_mod.ICPSigmaModel = icp_mod.ICPSigmaModel(),
+    unroll: bool = False,
 ):
     """One pyramid level of the U_IC trust-region solver.
 
     Reference: algorithms.py:611-723 (``TrustRegionInverseWUncertainty``).
     Returns ``(pose, weights, JtWJ)`` — JtWJ doubles as the 6x6 pose
     information matrix for uncertainty propagation (ref :716-721).
+
+    :param unroll: Python-unroll the GN iterations.  Used in training:
+        backprop through ``fori_loop`` stacks per-iteration residuals in
+        layouts XLA pads catastrophically on TPU; unrolling reproduces the
+        reference's autodiff structure with plain intermediates.
     """
     B, C, H, W_ = x0.shape
     px, py = W.generate_xy_grid(B, H, W_, K)
@@ -222,7 +228,13 @@ def tr_uic_level(
 
     jtj_dtype = jnp.result_type(x0, sigma0, invD0, K)
     init = (pose[0], pose[1], jnp.zeros((B, 6, 6), jtj_dtype))
-    R, t, JtWJ = jax.lax.fori_loop(0, max_iter, gn_iteration, init)
+    if unroll:
+        carry = init
+        for i in range(max_iter):
+            carry = gn_iteration(i, carry)
+        R, t, JtWJ = carry
+    else:
+        R, t, JtWJ = jax.lax.fori_loop(0, max_iter, gn_iteration, init)
     pose = (R, t)
 
     weights = w_icp if combine_icp else jnp.ones_like(x0)
@@ -522,6 +534,7 @@ def tr_icp_level(
     max_iter: int = 3,
     direction: str = "inverse",
     sigma_model: icp_mod.ICPSigmaModel = icp_mod.ICPSigmaModel(baseline=1.0),
+    unroll: bool = False,
 ):
     """One level of the stand-alone ICP tracker (ref algorithms.py:374-425).
 
@@ -550,7 +563,11 @@ def tr_icp_level(
             return inverse_update_pose(Hd, JtR, p)
         return forward_update_pose(Hd, JtR, p)
 
-    pose = jax.lax.fori_loop(0, max_iter, gn_iteration, pose)
+    if unroll:
+        for i in range(max_iter):
+            pose = gn_iteration(i, pose)
+    else:
+        pose = jax.lax.fori_loop(0, max_iter, gn_iteration, pose)
     weights = jnp.ones_like(depth0)
     return pose, weights
 
