@@ -56,7 +56,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(*dev_args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)  # per-step sync: honest wall-clock
     dt = (time.perf_counter() - t0) / iters
     fps = B / dt
 

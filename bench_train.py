@@ -57,17 +57,21 @@ def main():
     tcfg = TrainConfig(batch_size=B)
     opt = make_optimizer(tcfg, steps_per_epoch=100)
     state = create_train_state(net, opt, batch)
-    step = make_train_step(net, tcfg, opt)
+    # donation is essential on the remote-attached chip (state re-upload
+    # otherwise dominates); sync every step for honest timing
+    step = make_train_step(net, tcfg, opt, donate=True)
 
     dev_batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
     state, metrics = step(state, dev_batch)
     jax.block_until_ready(metrics["loss"])
+    state, metrics = step(state, dev_batch)
+    jax.block_until_ready(metrics["loss"])
 
-    iters = 10
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, dev_batch)
-    jax.block_until_ready(metrics["loss"])
+        jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     fps = B / dt
 
