@@ -52,12 +52,24 @@ def main():
     R, t = forward(*dev_args)
     jax.block_until_ready((R, t))
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(*dev_args)
-        jax.block_until_ready(out)  # per-step sync: honest wall-clock
-    dt = (time.perf_counter() - t0) / iters
+    def timed(iters):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = forward(*dev_args)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    # slope between two pipelined iteration counts: removes the fixed
+    # relay round-trip of this dev environment AND verifies the chain
+    # really executes (total time must scale with the iteration count)
+    t10 = timed(10)
+    t30 = timed(30)
+    assert t30 > 2.0 * t10, (
+        f"pipelined timing not scaling with iterations (t10={t10:.3f}, "
+        f"t30={t30:.3f}): execution may be escaping the sync"
+    )
+    dt = (t30 - t10) / 20.0
     fps = B / dt
 
     print(

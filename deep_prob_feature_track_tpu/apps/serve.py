@@ -32,9 +32,11 @@ import numpy as np
 class TrackingService:
     """Micro-batching dispatcher around a jitted fixed-batch forward."""
 
-    def __init__(self, forward_fn, max_batch: int = 8, batch_timeout_ms: float = 5.0):
+    def __init__(self, forward_fn, max_batch: int = 8, batch_timeout_ms: float = 5.0,
+                 expected_hw=None):
         self.forward_fn = forward_fn
         self.max_batch = max_batch
+        self.expected_hw = expected_hw  # (H, W) the program was compiled for
         self.batch_timeout = batch_timeout_ms / 1e3
         self.requests: "queue.Queue" = queue.Queue()
         self.n_served = 0
@@ -43,12 +45,30 @@ class TrackingService:
         self.worker = threading.Thread(target=self._loop, daemon=True)
         self.worker.start()
 
-    def submit(self, item: dict) -> dict:
-        """Blocking request: returns {'R': [3,3], 't': [3]}."""
+    def submit(self, item: dict, timeout: float = 120.0) -> dict:
+        """Blocking request: returns {'R': [3,3], 't': [3]}.
+
+        Raises ValueError for shape mismatches (a different resolution
+        would silently retrace the fixed-shape program) and RuntimeError
+        if the dispatcher failed or timed out.
+        """
+        if self.expected_hw is not None:
+            H, W = self.expected_hw
+            if item["color0"].shape != (3, H, W):
+                raise ValueError(
+                    f"payload color0 shape {item['color0'].shape} != compiled (3,{H},{W})"
+                )
+            if item["depth0"].shape != (1, H, W):
+                raise ValueError(
+                    f"payload depth0 shape {item['depth0'].shape} != compiled (1,{H},{W})"
+                )
         done = threading.Event()
-        slot = {"item": item, "done": done, "out": None}
+        slot = {"item": item, "done": done, "out": None, "error": None}
         self.requests.put(slot)
-        done.wait()
+        if not done.wait(timeout):
+            raise RuntimeError("tracking request timed out")
+        if slot["error"] is not None:
+            raise RuntimeError(slot["error"])
         return slot["out"]
 
     def stop(self):
@@ -74,25 +94,32 @@ class TrackingService:
                     break
 
             n = len(batch)
-            pad = self.max_batch - n
-            stacked = {
-                k: np.stack([s["item"][k] for s in batch] + [batch[-1]["item"][k]] * pad)
-                for k in ("color0", "color1", "depth0", "depth1", "calib")
-            }
-            R, t = self.forward_fn(
-                jnp.asarray(stacked["color0"]),
-                jnp.asarray(stacked["color1"]),
-                jnp.asarray(stacked["depth0"]),
-                jnp.asarray(stacked["depth1"]),
-                jnp.asarray(stacked["calib"]),
-            )
-            R = np.asarray(R)
-            t = np.asarray(t)
-            for i, slot in enumerate(batch):
-                slot["out"] = {"R": R[i], "t": t[i]}
-                slot["done"].set()
-            self.n_served += n
-            self.n_batches += 1
+            try:
+                pad = self.max_batch - n
+                stacked = {
+                    k: np.stack(
+                        [s["item"][k] for s in batch] + [batch[-1]["item"][k]] * pad
+                    )
+                    for k in ("color0", "color1", "depth0", "depth1", "calib")
+                }
+                R, t = self.forward_fn(
+                    jnp.asarray(stacked["color0"]),
+                    jnp.asarray(stacked["color1"]),
+                    jnp.asarray(stacked["depth0"]),
+                    jnp.asarray(stacked["depth1"]),
+                    jnp.asarray(stacked["calib"]),
+                )
+                R = np.asarray(R)
+                t = np.asarray(t)
+                for i, slot in enumerate(batch):
+                    slot["out"] = {"R": R[i], "t": t[i]}
+                    slot["done"].set()
+                self.n_served += n
+                self.n_batches += 1
+            except Exception as e:  # fail the batch, keep the worker alive
+                for slot in batch:
+                    slot["error"] = f"{type(e).__name__}: {e}"
+                    slot["done"].set()
 
 
 def make_handler(service: TrackingService):
@@ -135,7 +162,15 @@ def make_handler(service: TrackingService):
                 self.end_headers()
                 self.wfile.write(body)
                 return
-            out = service.submit(item)
+            try:
+                out = service.submit(item)
+            except (ValueError, RuntimeError) as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(400 if isinstance(e, ValueError) else 500)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             buf = io.BytesIO()
             np.savez(buf, R=out["R"], t=out["t"])
             body = buf.getvalue()
@@ -180,7 +215,10 @@ def build_service(preset: str, checkpoint: str, max_batch: int, H=120, W=160,
     forward = jax.jit(lambda *a: net.apply(variables, *a, train=False))
     # warm the compile before serving traffic
     jax.block_until_ready(forward(*ex))
-    return TrackingService(forward, max_batch=max_batch, batch_timeout_ms=batch_timeout_ms)
+    return TrackingService(
+        forward, max_batch=max_batch, batch_timeout_ms=batch_timeout_ms,
+        expected_hw=(H, W),
+    )
 
 
 def main(argv=None):

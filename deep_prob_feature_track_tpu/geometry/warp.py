@@ -84,6 +84,14 @@ def warp_features(F: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     return out
 
 
+def check_occ_prewarped(inv_z_buffer, inv_z_warped, u, v, thres: float = 1e-1):
+    """Occlusion test given already-warped reference depth (shared by the
+    fused-gather paths; same math as :func:`check_occ`)."""
+    _, _, H, W = inv_z_buffer.shape
+    inlier = inv_z_buffer > (inv_z_warped - thres)
+    return ~(inlier & (u > 0) & (u < W) & (v > 0) & (v < H))
+
+
 def _corner_weights(operand_shape, u, v):
     """Shared coordinate prep: clamp, slice-start clamp, weights."""
     B, H, W, C = operand_shape
@@ -133,8 +141,35 @@ def _blend(corners, du, dv):
     )
 
 
+def _bilinear_gather_tiny(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """take_along_axis fallback for maps with H<2 or W<2 (the (2,2) corner
+    window cannot be sliced there)."""
+    B, H, W, C = operand.shape
+    uf = jnp.clip(u.reshape(B, -1), 0.0, W - 1.0)
+    vf = jnp.clip(v.reshape(B, -1), 0.0, H - 1.0)
+    u0 = jnp.floor(uf)
+    v0 = jnp.floor(vf)
+    du = (uf - u0)[:, None, :]
+    dv = (vf - v0)[:, None, :]
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    u1i = jnp.minimum(u0i + 1, W - 1)
+    v1i = jnp.minimum(v0i + 1, H - 1)
+    flat = jnp.moveaxis(operand.reshape(B, H * W, C), -1, 1)  # [B,C,HW]
+
+    def g(vi, ui):
+        return jnp.take_along_axis(flat, (vi * W + ui)[:, None, :], axis=2)
+
+    return (
+        g(v0i, u0i) * (1 - du) * (1 - dv)
+        + g(v0i, u1i) * du * (1 - dv)
+        + g(v1i, u0i) * (1 - du) * dv
+        + g(v1i, u1i) * du * dv
+    )
+
+
 @jax.custom_vjp
-def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+def _bilinear_gather_fast(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     """Core bilinear gather on a channels-last operand [B,H,W,C] -> [B,C,N].
 
     Custom VJP: XLA's automatic gather transpose materializes the corner
@@ -147,8 +182,15 @@ def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     return _blend(_gather_corners(operand, starts), du, dv)
 
 
+def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    B, H, W, C = operand.shape
+    if H < 2 or W < 2:
+        return _bilinear_gather_tiny(operand, u, v)
+    return _bilinear_gather_fast(operand, u, v)
+
+
 def _bilinear_gather_fwd(operand, u, v):
-    out = _bilinear_gather_cl(operand, u, v)
+    out = _bilinear_gather_fast(operand, u, v)
     return out, (operand, u, v)
 
 
@@ -199,7 +241,7 @@ def _bilinear_gather_bwd(res, g):
     return d_op, g_u.reshape(u.shape), g_v.reshape(v.shape)
 
 
-_bilinear_gather_cl.defvjp(_bilinear_gather_fwd, _bilinear_gather_bwd)
+_bilinear_gather_fast.defvjp(_bilinear_gather_fwd, _bilinear_gather_bwd)
 
 
 def make_warp_operand(maps):

@@ -76,14 +76,11 @@ def edge_linearization(
     return JtWJ, JtR[..., 0], cost
 
 
-def _assemble(R, t, edges_i, edges_j, JtWJ, JtR, n_poses):
-    """Chain per-edge systems into the global [6N,6N] H and [6N] b."""
-    Ri = R[edges_i]
-    ti = t[edges_i]
-    Rj = R[edges_j]
-    tj = t[edges_j]
-    Rj_inv, tj_inv = inverse(Rj, tj)
-    R_rel, t_rel = compose(Rj_inv, tj_inv, Ri, ti)
+def _assemble(R_rel, t_rel, edges_i, edges_j, JtWJ, JtR, n_poses):
+    """Chain per-edge systems into the global [6N,6N] H and [6N] b.
+
+    :param R_rel, t_rel: the relative poses the edges were linearized at
+    """
     Rr_inv, tr_inv = inverse(R_rel, t_rel)
     G_j = -adjoint_se3(Rr_inv, tr_inv)  # [E,6,6]; G_i = I
 
@@ -102,7 +99,7 @@ def _assemble(R, t, edges_i, edges_j, JtWJ, JtR, n_poses):
     bg = bg.at[edges_i].add(b_i)
     bg = bg.at[edges_j].add(b_j)
     H_flat = jnp.transpose(Hg, (0, 2, 1, 3)).reshape(n_poses * 6, n_poses * 6)
-    return H_flat, bg.reshape(-1), (R_rel, t_rel)
+    return H_flat, bg.reshape(-1)
 
 
 def refine_dense_window(
@@ -111,6 +108,7 @@ def refine_dense_window(
     t: jnp.ndarray,
     edges_i: jnp.ndarray,
     edges_j: jnp.ndarray,
+    edge_weights: Optional[jnp.ndarray] = None,
     iterations: int = 5,
     damping: float = 1e-4,
     anchor_weight: float = 1e6,
@@ -122,9 +120,13 @@ def refine_dense_window(
 
     :param R, t: [N,3,3], [N,3] initial camera-to-world poses
     :param edges_i/edges_j: [E] edge endpoints (template=i, live=j)
+    :param edge_weights: optional [E] weights; use 0 to pad the edge list
+        to a mesh-divisible size without double-counting constraints
     :return: (R [N,...], t [N,...], costs [iterations])
     """
     n_poses = R.shape[0]
+    if edge_weights is None:
+        edge_weights = jnp.ones_like(edges_i, dtype=R.dtype)
 
     if mesh is not None:
         from jax.experimental.shard_map import shard_map
@@ -136,10 +138,10 @@ def refine_dense_window(
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(), P(), P(axis), P(axis)),
+            in_specs=(P(), P(), P(axis), P(axis), P(axis)),
             out_specs=(P(), P(), P()),
         )
-        def sharded_system(R_, t_, ei, ej):
+        def sharded_system(R_, t_, ei, ej, ew):
             Ri = R_[ei]
             ti_ = t_[ei]
             Rj = R_[ej]
@@ -149,15 +151,17 @@ def refine_dense_window(
             JtWJ, JtR, cost = edge_linearization(
                 frames, ei, ej, R_rel, t_rel, remove_tru_sigma
             )
-            H, b, _ = _assemble(R_, t_, ei, ej, JtWJ, JtR, n_poses)
+            JtWJ = JtWJ * ew[:, None, None]
+            JtR = JtR * ew[:, None]
+            H, b = _assemble(R_rel, t_rel, ei, ej, JtWJ, JtR, n_poses)
             return (
                 jax.lax.psum(H, axis),
                 jax.lax.psum(b, axis),
-                jax.lax.psum(jnp.sum(cost), axis),
+                jax.lax.psum(jnp.sum(cost * ew), axis),
             )
 
         def system(R_, t_):
-            return sharded_system(R_, t_, edges_i, edges_j)
+            return sharded_system(R_, t_, edges_i, edges_j, edge_weights)
 
     else:
 
@@ -171,8 +175,10 @@ def refine_dense_window(
             JtWJ, JtR, cost = edge_linearization(
                 frames, edges_i, edges_j, R_rel, t_rel, remove_tru_sigma
             )
-            H, b, _ = _assemble(R_, t_, edges_i, edges_j, JtWJ, JtR, n_poses)
-            return H, b, jnp.sum(cost)
+            JtWJ = JtWJ * edge_weights[:, None, None]
+            JtR = JtR * edge_weights[:, None]
+            H, b = _assemble(R_rel, t_rel, edges_i, edges_j, JtWJ, JtR, n_poses)
+            return H, b, jnp.sum(cost * edge_weights)
 
     def body(carry, _):
         R_, t_ = carry

@@ -120,9 +120,7 @@ def compute_inverse_residuals(
     invD1_w, f_r, sigma_r = warped[0], warped[1], warped[2]
 
     # z-buffer occlusion + out-of-view (ref geometry.py:334-350)
-    _, _, H, W_ = invD1.shape
-    inlier = inv_z > (invD1_w - 1e-1)
-    occ = ~(inlier & (u > 0) & (u < W_) & (v > 0) & (v < H))
+    occ = W.check_occ_prewarped(inv_z, invD1_w, u, v)
     if obj_mask0 is not None:
         occ = occ | ~obj_mask0.astype(jnp.bool_)
     if obj_mask1 is not None:

@@ -475,8 +475,7 @@ def tr_ufc_level(
         (dpt1_w, f_r, sigma_r, a_f, b_f, a_s, b_s) = W.warp_operand(
             ufc_op, ufc_sizes, u, v
         )
-        inlier = dpt_r > (dpt1_w - 1e-1)
-        occ = ~(inlier & (u > 0) & (u < W_) & (v > 0) & (v < H)) | ~depth_valid
+        occ = W.check_occ_prewarped(dpt_r, dpt1_w, u, v) | ~depth_valid
         res = f_r - x0
         sigma = jnp.sqrt(sigma_r * sigma_r + sigma0 * sigma0)
         from .residuals import ResidualOutput

@@ -200,11 +200,12 @@ def make_train_step(
         return jax.jit(step_fn)
     repl = replicated(mesh)
     data = batch_sharding(mesh)
+    donate_args = () if donate is False else (0,)
     return jax.jit(
         step_fn,
         in_shardings=(repl, data),
         out_shardings=(repl, repl),
-        donate_argnums=(0,),
+        donate_argnums=donate_args,
     )
 
 

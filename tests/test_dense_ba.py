@@ -118,18 +118,21 @@ def test_dense_window_sharded_matches(rng):
     frames, poses_gt = render_window(rng, n_frames=5)
     poses_init = perturb(poses_gt, rng, scale=0.008)
     ei, ej = window_edges(len(poses_gt))
-    # pad edges to a multiple of 8 with self-referential no-op edges?  use
-    # duplicated first edge (harmless duplication of a real constraint)
+    # pad to a mesh-divisible edge count with ZERO-weight edges (no
+    # double-counting of real constraints)
     pad = (-len(ei)) % 8
     ei_p = jnp.concatenate([ei, jnp.repeat(ei[:1], pad)])
     ej_p = jnp.concatenate([ej, jnp.repeat(ej[:1], pad)])
+    ew = jnp.concatenate([jnp.ones(len(ei)), jnp.zeros(pad)]).astype(jnp.float32)
     R0 = jnp.asarray(poses_init[:, :3, :3])
     t0 = jnp.asarray(poses_init[:, :3, 3])
 
-    R1, t1, c1 = dense_ba.refine_dense_window(frames, R0, t0, ei_p, ej_p, iterations=3)
+    R1, t1, c1 = dense_ba.refine_dense_window(
+        frames, R0, t0, ei_p, ej_p, edge_weights=ew, iterations=3
+    )
     mesh = make_mesh()
     R2, t2, c2 = dense_ba.refine_dense_window(
-        frames, R0, t0, ei_p, ej_p, iterations=3, mesh=mesh
+        frames, R0, t0, ei_p, ej_p, edge_weights=ew, iterations=3, mesh=mesh
     )
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)

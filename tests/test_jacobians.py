@@ -225,7 +225,6 @@ def test_forward_warp_jacobian_matches_jacfwd(rng):
     B, H, W = 1, 8, 10
     K = jnp.asarray([[30.0, 32.0, (W - 1) / 2.0, (H - 1) / 2.0]])
     dpt0 = jnp.asarray(rng.uniform(0.8, 3.0, (B, 1, H, W)))
-    R0 = J.__dict__  # noqa: F841 (keep namespace tidy)
     from deep_prob_feature_track_tpu.geometry.lie import exp_so3
 
     w0 = jnp.asarray(rng.randn(B, 3) * 0.1)
