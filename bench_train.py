@@ -64,15 +64,22 @@ def main():
     dev_batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
     state, metrics = step(state, dev_batch)
     jax.block_until_ready(metrics["loss"])
-    state, metrics = step(state, dev_batch)
-    jax.block_until_ready(metrics["loss"])
 
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, dev_batch)
-        jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    def timed(state, iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, dev_batch)
+        # fetching the loss VALUE forces the chain to drain (block_until_ready
+        # alone can release early through the remote-attach relay)
+        float(metrics["loss"])
+        return time.perf_counter() - t0, state
+
+    t2, state = timed(state, 2)
+    t6, state = timed(state, 6)
+    assert t6 > 2.0 * t2, (
+        f"chained timing not scaling with steps (t2={t2:.3f}, t6={t6:.3f})"
+    )
+    dt = (t6 - t2) / 4.0
     fps = B / dt
 
     print(
