@@ -62,8 +62,12 @@ def main():
     step = make_train_step(net, tcfg, opt, donate=True)
 
     dev_batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+    # two warmups: the first compiles, the second compiles again for the
+    # committed-device placement of the returned state
     state, metrics = step(state, dev_batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
+    state, metrics = step(state, dev_batch)
+    float(metrics["loss"])
 
     def timed(state, iters):
         t0 = time.perf_counter()
