@@ -74,6 +74,12 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--image_resize", type=float, default=0.25)
     p.add_argument("--sharded", action="store_true", help="shard edges over the mesh")
+    p.add_argument("--dense", action="store_true",
+                   help="follow the pose-graph solve with dense feature-metric "
+                        "window refinement (direct multi-frame alignment)")
+    p.add_argument("--dense_level", type=int, default=1,
+                   help="feature-pyramid level for the dense refinement")
+    p.add_argument("--dense_iterations", type=int, default=5)
     p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--output", default="ba_trajectory.txt")
     args = p.parse_args(argv)
@@ -153,6 +159,52 @@ def main(argv=None):
     refined_poses = np.tile(np.eye(4), (n_frames, 1, 1))
     refined_poses[:, :3, :3] = np.asarray(refined.R)
     refined_poses[:, :3, 3] = np.asarray(refined.t)
+
+    if args.dense:
+        from ..parallel.dense_ba import WindowFrames, refine_dense_window
+
+        lvl = args.dense_level
+        print(f"[ba_refine] dense refinement at pyramid level {lvl}")
+        # encode every frame once; take the chosen pyramid level
+        frames_feats, frames_sigmas, frames_invd, frames_K = [], [], [], []
+        for i in range(n_frames):
+            # use each frame paired with its successor for the two-view
+            # encoder input (the encoder itself is per-frame)
+            j = min(i + 1, n_frames - 1)
+            it = dataset.pair_frames(i, j)
+            c0 = jnp.asarray(it["color0"][None])
+            c1 = jnp.asarray(it["color1"][None])
+            d0 = jnp.asarray(it["depth0"][None])
+            d1 = jnp.asarray(it["depth1"][None])
+            Kb = jnp.asarray(it["calib"][None])
+            (x0, x1, s0, s1, _, _, iv0, iv1, _, _, _) = net.apply(
+                variables, c0, c1, d0, d1, None, None, None, False,
+                method=LeastSquareTracking._preprocess,
+            )
+            frames_feats.append(x0[lvl][0])
+            frames_sigmas.append(s0[lvl][0])
+            frames_invd.append(iv0[lvl][0])
+            from ..geometry.warp import scale_K
+
+            frames_K.append(scale_K(Kb, lvl)[0])
+        window = WindowFrames(
+            feats=jnp.stack(frames_feats),
+            sigmas=jnp.stack(frames_sigmas),
+            invD=jnp.stack(frames_invd),
+            K=jnp.stack(frames_K),
+        )
+        ei = jnp.asarray([p_[0] for p_ in pairs], jnp.int32)
+        ej = jnp.asarray([p_[1] for p_ in pairs], jnp.int32)
+        Rd, td, dcosts = refine_dense_window(
+            window,
+            jnp.asarray(refined_poses[:, :3, :3]),
+            jnp.asarray(refined_poses[:, :3, 3]),
+            ei, ej, iterations=args.dense_iterations,
+        )
+        print(f"[ba_refine] dense cost {float(dcosts[0]):.4f} -> {float(dcosts[-1]):.4f}")
+        refined_poses[:, :3, :3] = np.asarray(Rd)
+        refined_poses[:, :3, 3] = np.asarray(td)
+
     write_tum_trajectory(args.output, refined_poses)
     print(f"[ba_refine] wrote {args.output}")
 

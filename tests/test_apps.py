@@ -173,3 +173,27 @@ def test_kf_vo_keyframe_switching(tum_fixture, tmp_path):
     assert poses.shape == (5, 4, 4)
     assert np.all(np.isfinite(poses))
     assert gt is not None and gt.shape == (5, 4, 4)
+
+
+def test_ba_refine_dense_cli(tum_fixture, tmp_path):
+    from deep_prob_feature_track_tpu.apps.ba_refine import main
+
+    out = str(tmp_path / "ba_dense.txt")
+    rc = main(
+        [
+            "--dataset", "TUM_RGBD",
+            "--data_root", "",
+            "--trajectory", tum_fixture,
+            "--preset", "feature",
+            "--window", "2",
+            "--iterations", "3",
+            "--batch_size", "4",
+            "--dense",
+            "--dense_iterations", "2",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    vals = np.loadtxt(out)
+    assert vals.shape == (5, 8)
+    assert np.all(np.isfinite(vals))
