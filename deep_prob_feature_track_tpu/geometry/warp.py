@@ -402,3 +402,15 @@ def scale_K(K: jnp.ndarray, level: int) -> jnp.ndarray:
 def resize_K(K: jnp.ndarray, sx: float, sy: float) -> jnp.ndarray:
     """Rescale intrinsics for an image resize by (sx, sy) (ref criterions.py:118-122)."""
     return K * jnp.asarray([sx, sy, sx, sy], dtype=K.dtype)[None, :]
+
+
+def batch_warp_affine(pu, pv, affine):
+    """2D affine warp of a pixel grid (ref geometry.py:325-332).
+
+    :param affine: [B,2,3] (or [B,3,3], extra row ignored)
+    """
+    B, _, H, W = pu.shape
+    ones = jnp.ones_like(pu)
+    uv1 = jnp.concatenate([pu, pv, ones], axis=1).reshape(B, 3, H * W)
+    out = affine[:, :2, :] @ uv1
+    return out[:, 0].reshape(B, 1, H, W), out[:, 1].reshape(B, 1, H, W)

@@ -188,3 +188,23 @@ def compute_avg_loss(x_list, invalid) -> jnp.ndarray:
         masked = jnp.where(invalid, 0.0, x)
         total = total + (masked * masked).sum(axis=(1, 2, 3))
     return total / valid_num
+
+
+def compute_avg_res(x, invalid) -> jnp.ndarray:
+    """Whole-batch average residual NORM over valid pixels (the reference's
+    diagnostic print, algorithms.py:2110-2116; cf. compute_avg_loss which is
+    per-sample and squared)."""
+    B, _, H, W = invalid.shape
+    masked = jnp.where(invalid, 0.0, x)
+    valid_num = B * H * W - invalid.sum()
+    return jnp.linalg.norm(masked.reshape(-1)) / valid_num
+
+
+def warp_images(invD0, pose10, img1, invD1, K):
+    """Convenience: warp an image + inverse depth into the reference frame
+    (ref algorithms.py:2140-2146)."""
+    B, C, H, W_ = img1.shape
+    px, py = W.generate_xy_grid(B, H, W_, K)
+    u, v, _ = W.batch_warp_inverse_depth(px, py, invD0, pose10, K)
+    img1_r, invD1_r = W.warp_multi([img1, invD1], u, v)
+    return img1_r, invD1_r

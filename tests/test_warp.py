@@ -174,3 +174,25 @@ def test_warp_features_custom_vjp_matches_autodiff(rng):
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(F, u, v)
     for a, b in zip(g_ours, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_batch_warp_affine_identity(rng):
+    B, H, W = 1, 4, 5
+    u = jnp.asarray(rng.rand(B, 1, H, W))
+    v = jnp.asarray(rng.rand(B, 1, H, W))
+    eye = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    uo, vo = warp.batch_warp_affine(u, v, eye)
+    np.testing.assert_allclose(np.asarray(uo), np.asarray(u))
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(v))
+
+
+def test_warp_images_helper(rng):
+    from deep_prob_feature_track_tpu.solvers.residuals import warp_images
+
+    B, H, W = 1, 8, 10
+    K = jnp.asarray([[8.0, 8.0, 4.5, 3.5]])
+    img1 = jnp.asarray(rng.rand(B, 3, H, W))
+    invD = jnp.full((B, 1, H, W), 0.5)
+    pose = (jnp.broadcast_to(jnp.eye(3), (B, 3, 3)), jnp.zeros((B, 3)))
+    img_r, invD_r = warp_images(invD, pose, img1, invD, K)
+    np.testing.assert_allclose(np.asarray(img_r), np.asarray(img1), atol=1e-5)
