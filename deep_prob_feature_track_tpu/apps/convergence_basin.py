@@ -123,6 +123,45 @@ def evaluate_basin(
     return out.reshape((len(levels),) + tuple(R_all.shape[:-2]))
 
 
+def save_plots(data: Dict, out_prefix: str):
+    """Cost-landscape figures (the reference's surface/contour plots,
+    convergence_basin.py:478-715), rendered headless."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    costs = data["costs"]
+    offsets = data["offsets"]
+    if data["dimension"] == "1D":
+        axes_names = ["rot-x", "rot-y", "rot-z", "trans-x", "trans-y", "trans-z"]
+        fig, axs = plt.subplots(2, 3, figsize=(14, 7), sharex=True)
+        for a in range(6):
+            ax = axs[a // 3][a % 3]
+            for lvl in range(costs.shape[0]):
+                ax.plot(offsets, costs[lvl, a], label=f"level {lvl}")
+            ax.set_title(axes_names[a])
+            ax.axvline(0.0, color="k", lw=0.5)
+        axs[0][0].legend(fontsize=7)
+        fig.suptitle(f"cost landscape ({data['trajectory']}, kf {data['keyframe']})")
+        fig.tight_layout()
+        fig.savefig(out_prefix + "_1d.png", dpi=110)
+        plt.close(fig)
+    else:
+        n = costs.shape[0]
+        fig, axs = plt.subplots(1, n, figsize=(4 * n, 3.6))
+        for lvl in range(n):
+            ax = axs[lvl] if n > 1 else axs
+            im = ax.contourf(offsets, offsets, costs[lvl].T, levels=20)
+            ax.plot(0, 0, "r+")
+            ax.set_title(f"level {lvl}")
+            fig.colorbar(im, ax=ax)
+        fig.suptitle("x/y translation cost landscape")
+        fig.tight_layout()
+        fig.savefig(out_prefix + "_2d.png", dpi=110)
+        plt.close(fig)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Convergence-basin sweep")
     p.add_argument("--dataset", default="TUM_RGBD")
@@ -136,6 +175,7 @@ def main(argv=None):
     p.add_argument("--frame", type=int, default=0)
     p.add_argument("--image_resize", type=float, default=0.25)
     p.add_argument("--output", default="convergence_basin.pkl")
+    p.add_argument("--save_img", action="store_true", help="write landscape plots")
     args = p.parse_args(argv)
 
     import jax
@@ -176,19 +216,19 @@ def main(argv=None):
         poses, offsets = perturbation_poses_2d(R_gt, t_gt, rng, args.pert_samples)
 
     costs = evaluate_basin(net, variables, item, poses)
+    data = {
+        "costs": costs,
+        "offsets": offsets,
+        "dimension": args.cb_dimension,
+        "pert_range": rng,
+        "trajectory": args.trajectory,
+        "frame": args.frame,
+        "keyframe": args.keyframe,
+    }
     with open(args.output, "wb") as f:
-        pickle.dump(
-            {
-                "costs": costs,
-                "offsets": offsets,
-                "dimension": args.cb_dimension,
-                "pert_range": rng,
-                "trajectory": args.trajectory,
-                "frame": args.frame,
-                "keyframe": args.keyframe,
-            },
-            f,
-        )
+        pickle.dump(data, f)
+    if args.save_img:
+        save_plots(data, args.output.replace(".pkl", ""))
     print(f"[convergence_basin] costs {costs.shape} -> {args.output}")
     print(f"  min cost per level: {costs.reshape(costs.shape[0], -1).min(axis=1)}")
     return 0

@@ -197,3 +197,23 @@ def test_ba_refine_dense_cli(tum_fixture, tmp_path):
     vals = np.loadtxt(out)
     assert vals.shape == (5, 8)
     assert np.all(np.isfinite(vals))
+
+
+def test_convergence_basin_plots(tum_fixture, tmp_path):
+    from deep_prob_feature_track_tpu.apps.convergence_basin import main
+
+    out = str(tmp_path / "cb2.pkl")
+    rc = main(
+        [
+            "--dataset", "TUM_RGBD",
+            "--data_root", "",
+            "--trajectory", tum_fixture,
+            "--preset", "RGB",
+            "--cb_dimension", "2D",
+            "--pert_samples", "5",
+            "--output", out,
+            "--save_img",
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "cb2_2d.png").exists()
