@@ -149,10 +149,11 @@ def save_plots(data: Dict, out_prefix: str):
         plt.close(fig)
     else:
         n = costs.shape[0]
+        S = len(offsets)
         fig, axs = plt.subplots(1, n, figsize=(4 * n, 3.6))
         for lvl in range(n):
             ax = axs[lvl] if n > 1 else axs
-            im = ax.contourf(offsets, offsets, costs[lvl].T, levels=20)
+            im = ax.contourf(offsets, offsets, costs[lvl].reshape(S, S).T, levels=20)
             ax.plot(0, 0, "r+")
             ax.set_title(f"level {lvl}")
             fig.colorbar(im, ax=ax)
