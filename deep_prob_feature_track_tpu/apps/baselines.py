@@ -84,7 +84,7 @@ class ICPOdometry(_BaseTracker):
                 jnp.zeros((B, 3), depth0.dtype),
             )
             for lvl in levels:
-                pose, _ = tr_icp_level(
+                pose, _, _ = tr_icp_level(
                     pose, d0[lvl], d1[lvl], scale_K(K, lvl),
                     max_iter=max_iter, direction="inverse",
                     sigma_model=ICPSigmaModel(baseline=1.0),

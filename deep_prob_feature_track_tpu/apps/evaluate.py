@@ -114,12 +114,16 @@ def main(argv=None):
             loader, forward, has_mask=has_mask, obj_only=args.obj_only, timers=timers
         )
         results[key] = info
-        print(
-            f"{key}: EPE3D={info['epes'].mean() * 100:.3f}cm  "
-            f"axis={np.degrees(info['angular_error'].mean()):.4f}deg  "
-            f"trans={info['translation_error'].mean() * 100:.3f}cm  "
-            f"({info['epes'].shape[0]} frames)"
-        )
+        if "epes" in info:
+            print(
+                f"{key}: EPE3D={info['epes'].mean() * 100:.3f}cm  "
+                f"axis={np.degrees(info['angular_error'].mean()):.4f}deg  "
+                f"trans={info['translation_error'].mean() * 100:.3f}cm  "
+                f"({info['epes'].shape[0]} frames)"
+            )
+        else:
+            # GT-less dataset (VaryLighting): poses only
+            print(f"{key}: no ground truth; {info['R_est'].shape[0]} poses estimated")
 
     out_dir = os.path.join(args.output_dir, ckpt_name)
     df = summarize_results(

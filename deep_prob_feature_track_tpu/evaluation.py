@@ -145,6 +145,13 @@ def evaluate_two_view(
         if timers:
             timers.toc("evaluate")
 
+    # GT-less datasets (e.g. VaryLighting, ref VaryLighting.py: transform is
+    # None) never fill the metric lists — drop those keys entirely so
+    # downstream reporting can detect "poses only" instead of crashing on
+    # empty arrays
+    for key in ("epes", "angular_error", "translation_error"):
+        if key in out and not out[key]:
+            del out[key]
     return {
         k: (np.concatenate(v) if v and isinstance(v[0], np.ndarray) else v)
         for k, v in out.items()
@@ -167,12 +174,15 @@ def summarize_results(
     rows = {}
     for key, info in per_loader.items():
         traj, kf = key.split("_keyframe_")
+        # GT-less runs have no metric arrays: report NaN metrics but keep
+        # the row (frame counts + pose pickles still matter)
+        has_gt = "epes" in info
         rows[key] = pd.Series(
             [
-                float(info["epes"].mean()),
-                float(info["angular_error"].mean()),
-                float(info["translation_error"].mean()),
-                int(info["epes"].shape[0]),
+                float(info["epes"].mean()) if has_gt else float("nan"),
+                float(info["angular_error"].mean()) if has_gt else float("nan"),
+                float(info["translation_error"].mean()) if has_gt else float("nan"),
+                int(info["R_est"].shape[0]),
                 int(kf),
                 traj,
             ],

@@ -24,16 +24,29 @@ class DeepRobustEstimator(nn.Module):
 
     ``estimator_type='MultiScale2w'``: input ``[|r|, x0, x1, w_prev^up]``
     -> 4 dilated convs -> sigmoid weight map (ref algorithms.py:1449-1474).
-    ``'None'``: constant ones.
+    ``'None'``: constant ones.  ``'Huber'``: the classical (non-learned)
+    Huber weight ``min(1, alpha/|r|)`` with alpha=0.02 (ref
+    algorithms.py:1480-1493; the reference flags it non-differentiable, so
+    the gradient is stopped here too).
     """
 
     estimator_type: str = "MultiScale2w"
+    huber_alpha: float = 0.02
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, residual, x0, x1, w_prior=None, train: bool = False):
         if self.estimator_type == "None":
             return jnp.ones_like(residual)
+        if self.estimator_type == "Huber":
+            import jax
+
+            abs_r = jnp.abs(jax.lax.stop_gradient(residual))
+            return jnp.where(
+                abs_r > self.huber_alpha,
+                self.huber_alpha / jnp.maximum(abs_r, self.huber_alpha),
+                1.0,
+            )
         if self.estimator_type != "MultiScale2w":
             raise ValueError(self.estimator_type)
         B, C, H, W = residual.shape

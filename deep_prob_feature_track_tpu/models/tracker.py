@@ -267,32 +267,33 @@ class LeastSquareTracking(nn.Module):
             def mest_fn(res, f0, f1, wp):
                 return mest(res, f0, f1, wp, train=train)
 
-            pose, weights = TR.tr_ic_level(
+            pose, weights, JtWJ = TR.tr_ic_level(
                 pose, x0, x1, inv_d0, inv_d1, K_l, mest_fn, self._solver(level),
                 w_prior=w_prior, obj_mask0=m0, obj_mask1=m1,
                 max_iter=cfg.max_iter_per_pyr, unroll=train,
             )
-            return pose, weights, None
+            return pose, weights, JtWJ
         if tt == "U_FC":
             mest = self._instance(self.mests, level)
 
             def mest_fn(res, f0, f1, wp):
                 return mest(res, f0, f1, wp, train=train)
 
-            pose, weights = TR.tr_ufc_level(
+            pose, weights, JtWJ = TR.tr_ufc_level(
                 pose, x0, x1, dpt0, dpt1, K_l, sigma0, sigma1,
-                mest_fn, self._solver(level), w_prior=w_prior, obj_mask1=m1,
+                mest_fn, self._solver(level), w_prior=w_prior,
+                obj_mask0=m0, obj_mask1=m1,
                 max_iter=cfg.max_iter_per_pyr,
                 unroll=train or cfg.mest_type != "None",
             )
-            return pose, weights, None
+            return pose, weights, JtWJ
         if tt == "ICP":
-            pose, weights = TR.tr_icp_level(
+            pose, weights, JtWJ = TR.tr_icp_level(
                 pose, dpt0, dpt1, K_l, w_prior=w_prior, obj_mask1=m1,
                 max_iter=cfg.max_iter_per_pyr, direction=cfg.direction,
                 sigma_model=ICPSigmaModel(baseline=1.0), unroll=train,
             )
-            return pose, weights, None
+            return pose, weights, JtWJ
         raise ValueError(tt)
 
     # ------------------------------------------------------------------

@@ -187,7 +187,9 @@ def compute_avg_loss(x_list, invalid) -> jnp.ndarray:
     for x in x_list:
         masked = jnp.where(invalid, 0.0, x)
         total = total + (masked * masked).sum(axis=(1, 2, 3))
-    return total / valid_num
+    # all-invalid frames (e.g. out-of-overlap perturbations in the basin
+    # study) have total == 0; guard the denominator so they report 0, not NaN
+    return total / jnp.maximum(valid_num, 1)
 
 
 def compute_avg_res(x, invalid) -> jnp.ndarray:
@@ -197,7 +199,7 @@ def compute_avg_res(x, invalid) -> jnp.ndarray:
     B, _, H, W = invalid.shape
     masked = jnp.where(invalid, 0.0, x)
     valid_num = B * H * W - invalid.sum()
-    return jnp.linalg.norm(masked.reshape(-1)) / valid_num
+    return jnp.linalg.norm(masked.reshape(-1)) / jnp.maximum(valid_num, 1)
 
 
 def warp_images(invD0, pose10, img1, invD1, K):

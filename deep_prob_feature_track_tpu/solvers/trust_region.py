@@ -237,6 +237,10 @@ def tr_uic_level(
         R, t, JtWJ = jax.lax.fori_loop(0, max_iter, gn_iteration, init)
     pose = (R, t)
 
+    # matching the reference exactly (algorithms.py:713-717): the chained
+    # prior weight is the learned ICP scale when combining ICP, constant
+    # ones otherwise (the paper config's mEst is None, so no per-level
+    # M-estimator weights exist to chain here)
     weights = w_icp if combine_icp else jnp.ones_like(x0)
     return pose, weights, JtWJ
 
@@ -319,7 +323,10 @@ def tr_ic_level(
     """One pyramid level of the plain IC solver (ref algorithms.py:45-101).
 
     Template Jacobian and M-estimator weights are computed once from the
-    initial residual; the loop alternates solve / re-residual.
+    initial residual; the loop alternates solve / re-residual.  Returns
+    ``(pose, weights, JtWJ)`` — the 6x6 information matrix supports
+    ``uncer_prop`` on every track, mirroring what the reference exposes for
+    U_IC (algorithms.py:716-721).
 
     :param unroll: Python-unroll the iterations instead of ``fori_loop`` —
         required when the solve itself applies flax modules (Direct-ResVol's
@@ -359,7 +366,7 @@ def tr_ic_level(
         R, t, residuals = carry
     else:
         R, t, residuals = jax.lax.fori_loop(0, max_iter, gn_iteration, carry)
-    return (R, t), weights
+    return (R, t), weights, JtWJ
 
 
 def tr_ic_residual(
@@ -445,6 +452,7 @@ def tr_ufc_level(
     mest_fn: Callable,
     solver: DirectSolver,
     w_prior=None,
+    obj_mask0=None,
     obj_mask1=None,
     max_iter: int = 3,
     unroll: bool = False,
@@ -455,7 +463,11 @@ def tr_ufc_level(
     Jacobians are recomputed every iteration at the warped coordinates
     (interpolated gradients, ref :1126-1134), residual Jacobian
     ``grad_f1/sigma - res * sigma_r grad_sigma1 / sigma^3`` (ref :1139),
-    with the same overall sign flip and forward pose update.
+    with the same overall sign flip and forward pose update.  Object masks
+    fold into the invalid mask exactly like the inverse tracks
+    (algorithms.py:1999-2008): pixels outside the frame-0 object, or warping
+    outside the frame-1 object, are excluded.  Returns ``(pose, weights,
+    JtWJ)`` for uncertainty propagation.
     """
     from ..ops.image import sobel_gradients
 
@@ -464,18 +476,22 @@ def tr_ufc_level(
     gxf1, gyf1 = sobel_gradients(x1)
     gxs1, gys1 = sobel_gradients(sigma1)
     # loop-invariant target maps: one channels-last operand, one gather/iter
-    ufc_op, ufc_sizes = W.make_warp_operand(
-        [dpt1, x1, sigma1, gxf1, gyf1, gxs1, gys1]
-    )
+    ufc_maps = [dpt1, x1, sigma1, gxf1, gyf1, gxs1, gys1]
+    if obj_mask1 is not None:
+        ufc_maps.append(obj_mask1.astype(x1.dtype))
+    ufc_op, ufc_sizes = W.make_warp_operand(ufc_maps)
 
     def gn_iteration(_, carry):
-        R, t, _ = carry
+        R, t, _, _ = carry
         p = (R, t)
         u, v, dpt_r, depth_valid, u6, v6 = _warp_forward_depth(dpt0, p, K)
-        (dpt1_w, f_r, sigma_r, a_f, b_f, a_s, b_s) = W.warp_operand(
-            ufc_op, ufc_sizes, u, v
-        )
+        warped = W.warp_operand(ufc_op, ufc_sizes, u, v)
+        (dpt1_w, f_r, sigma_r, a_f, b_f, a_s, b_s) = warped[:7]
         occ = W.check_occ_prewarped(dpt_r, dpt1_w, u, v) | ~depth_valid
+        if obj_mask0 is not None:
+            occ = occ | ~obj_mask0.astype(jnp.bool_)
+        if obj_mask1 is not None:
+            occ = occ | ~(warped[7] > 0)
         res = f_r - x0
         sigma = jnp.sqrt(sigma_r * sigma_r + sigma0 * sigma0)
         from .residuals import ResidualOutput
@@ -493,17 +509,18 @@ def tr_ufc_level(
         JtR = jtr_only(fac, out.weighted_res, weights=weights)
         H6 = lev_mar_damp(JtWJ)
         R_new, t_new = _update(solver, H6, JtR, p)
-        return (R_new, t_new, weights)
+        return (R_new, t_new, weights, JtWJ)
 
     w0 = mest_fn(jnp.zeros_like(x0), x0, x1, w_prior)
-    carry = (pose[0], pose[1], w0)
+    jtj0 = jnp.zeros((B, 6, 6), dtype=jnp.result_type(x0, sigma0, K))
+    carry = (pose[0], pose[1], w0, jtj0)
     if unroll or solver.kind == "resvol":
         for i in range(max_iter):
             carry = gn_iteration(i, carry)
-        R, t, weights = carry
+        R, t, weights, JtWJ = carry
     else:
-        R, t, weights = jax.lax.fori_loop(0, max_iter, gn_iteration, carry)
-    return (R, t), weights
+        R, t, weights, JtWJ = jax.lax.fori_loop(0, max_iter, gn_iteration, carry)
+    return (R, t), weights, JtWJ
 
 
 def tr_ufc_residual(
@@ -538,7 +555,8 @@ def tr_icp_level(
     """One level of the stand-alone ICP tracker (ref algorithms.py:374-425).
 
     ``direction='forward'`` gives the forward-compositional twin
-    (``TrustRegionICP``, ref :161-212).
+    (``TrustRegionICP``, ref :161-212).  Returns ``(pose, weights, JtJ)``
+    for uncertainty propagation.
     """
     B, _, H, W_ = depth0.shape
     px, py = W.generate_xy_grid(B, H, W_, K)
@@ -547,7 +565,8 @@ def tr_icp_level(
     normal1 = compute_normal(vertex1)
 
     def gn_iteration(_, carry):
-        p = carry
+        R, t, _ = carry
+        p = (R, t)
         if direction == "inverse":
             residuals, J, occ = icp_mod.icp_residuals_inverse(
                 vertex0, vertex1, normal1, p, K, sigma_model=sigma_model
@@ -559,16 +578,21 @@ def tr_icp_level(
         JtJ, JtR = icp_mod.icp_jtj_jtr(J, residuals)
         Hd = lev_mar_damp(JtJ)
         if direction == "inverse":
-            return inverse_update_pose(Hd, JtR, p)
-        return forward_update_pose(Hd, JtR, p)
+            R_new, t_new = inverse_update_pose(Hd, JtR, p)
+        else:
+            R_new, t_new = forward_update_pose(Hd, JtR, p)
+        return (R_new, t_new, JtJ)
 
+    jtj0 = jnp.zeros((B, 6, 6), dtype=jnp.result_type(depth0, K))
+    carry = (pose[0], pose[1], jtj0)
     if unroll:
         for i in range(max_iter):
-            pose = gn_iteration(i, pose)
+            carry = gn_iteration(i, carry)
     else:
-        pose = jax.lax.fori_loop(0, max_iter, gn_iteration, pose)
+        carry = jax.lax.fori_loop(0, max_iter, gn_iteration, carry)
+    pose = (carry[0], carry[1])
     weights = jnp.ones_like(depth0)
-    return pose, weights
+    return pose, weights, carry[2]
 
 
 def tr_icp_residual(
