@@ -193,6 +193,83 @@ def _bilinear_gather_fwd(operand, u, v):
     return out, (operand, u, v)
 
 
+_SPLAT_BLK = 1920  # samples per two-hot matmul block (tuned on v5e)
+
+
+def _splat_twohot(shape, starts, du, dv, g):
+    """Adjoint of the bilinear corner gather as two-hot MXU matmuls.
+
+    XLA's TPU scatter-add lowering serializes per index — measured 388 ms
+    for the level-0 training backward (B=64, N=19200, C=10) regardless of
+    update layout or index sortedness.  The bilinear corner weights are
+    separable (``w_corner = wu * wv``), so the scatter is exactly
+
+        d_op[b,y,x,c] = sum_n V[b,n,y] * U[b,n,x] * g[b,n,c]
+
+    with two-hot row/column matrices ``V``/``U`` (entries ``1-frac`` and
+    ``frac`` at the two corner lines).  Blocked over ``n`` this is a dense
+    [H, blk] x [blk, W*C] matmul chain the MXU eats: 20 ms for the same
+    shape — 19x the scatter.  ~60x more FLOPs than the sparse update, but
+    the model is gather/scatter-bound, not FLOP-bound (docs/PERF.md).
+
+    ``precision='high'`` (bf16_3x passes) keeps float32-level accuracy
+    (measured 1.2e-4 abs on N(0,1) cotangents vs 'highest'); CPU (f64
+    tests) ignores the flag and stays exact.
+
+    :param shape: operand shape (B, H, W, C)
+    :param starts: [B,N,2] int corner starts (v0, u0), pre-clamped
+    :param du, dv: [B,1,N] fractional offsets
+    :param g: [B,C,N] output cotangent
+    :return: [B,H,W,C] operand cotangent
+    """
+    B, H, W, C = shape
+    N = g.shape[2]
+    dtype = g.dtype
+    v0 = starts[..., 0]
+    u0 = starts[..., 1]
+    du_ = du[:, 0, :].astype(dtype)
+    dv_ = dv[:, 0, :].astype(dtype)
+    g_nc = jnp.swapaxes(g, 1, 2)  # [B,N,C]
+
+    blk = min(_SPLAT_BLK, N)
+    nblk = -(-N // blk)
+    pad = nblk * blk - N
+    if pad:
+        # zero-cotangent padding samples contribute nothing
+        u0 = jnp.pad(u0, ((0, 0), (0, pad)))
+        v0 = jnp.pad(v0, ((0, 0), (0, pad)))
+        du_ = jnp.pad(du_, ((0, 0), (0, pad)))
+        dv_ = jnp.pad(dv_, ((0, 0), (0, pad)))
+        g_nc = jnp.pad(g_nc, ((0, 0), (0, pad), (0, 0)))
+
+    iw = jnp.arange(W, dtype=u0.dtype)
+    ih = jnp.arange(H, dtype=v0.dtype)
+
+    def twohot(idx, frac, iota):
+        near = (iota[None, None, :] == idx[..., None]).astype(dtype)
+        far = (iota[None, None, :] == (idx + 1)[..., None]).astype(dtype)
+        return near * (1 - frac[..., None]) + far * frac[..., None]
+
+    def body(acc, xs):
+        u0b, dub, v0b, dvb, gb = xs
+        U = twohot(u0b, dub, iw)  # [B,blk,W]
+        V = twohot(v0b, dvb, ih)  # [B,blk,H]
+        P = (U[:, :, :, None] * gb[:, :, None, :]).reshape(B, blk, W * C)
+        acc = acc + jnp.einsum("bkh,bkm->bhm", V, P, precision="high")
+        return acc, None
+
+    def to_blocks(x):
+        return jnp.moveaxis(x.reshape(B, nblk, blk, *x.shape[2:]), 1, 0)
+
+    xs = tuple(to_blocks(x) for x in (u0, du_, v0, dv_, g_nc))
+    acc0 = jnp.zeros((B, H, W * C), dtype)
+    if nblk == 1:
+        acc, _ = body(acc0, tuple(x[0] for x in xs))
+    else:
+        acc, _ = jax.lax.scan(body, acc0, xs)
+    return acc.reshape(B, H, W, C)
+
+
 def _bilinear_gather_bwd(res, g):
     operand, u, v = res
     B, H, W, C = operand.shape
@@ -214,30 +291,9 @@ def _bilinear_gather_bwd(res, g):
     g_u = jnp.where((u_in >= 0) & (u_in <= W - 1), g_u, 0.0)
     g_v = jnp.where((v_in >= 0) & (v_in <= H - 1), g_v, 0.0)
 
-    # d out / d operand: ONE scatter-add with all four corners' weighted
-    # cotangents concatenated along the index axis (fewer scatter passes
-    # than four separate calls)
-    g_nc = jnp.swapaxes(g, 1, 2)  # [B,N,C]
-    offsets = [(0, 0), (0, 1), (1, 0), (1, 1)]
-    weights = [(1 - du) * (1 - dv), du * (1 - dv), (1 - du) * dv, du * dv]
-    idx4 = jnp.concatenate(
-        [starts + jnp.asarray([dy, dx], starts.dtype) for (dy, dx) in offsets],
-        axis=1,
-    )  # [B,4N,2]
-    upd4 = jnp.concatenate(
-        [g_nc * jnp.swapaxes(w_ij, 1, 2) for w_ij in weights], axis=1
-    )  # [B,4N,C]
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(2,),
-        inserted_window_dims=(1, 2),
-        scatter_dims_to_operand_dims=(1, 2),
-        operand_batching_dims=(0,),
-        scatter_indices_batching_dims=(0,),
-    )
-    d_op = jax.lax.scatter_add(
-        jnp.zeros_like(operand), idx4, upd4, dnums,
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )
+    # d out / d operand: two-hot matmul splat (see _splat_twohot — XLA's
+    # scatter-add serializes on TPU, the MXU formulation is ~19x faster)
+    d_op = _splat_twohot(operand.shape, starts, du, dv, g)
     return d_op, g_u.reshape(u.shape), g_v.reshape(v.shape)
 
 
