@@ -93,9 +93,17 @@ def main(argv=None):
         args.dataset, keyframes, "train", image_resize=args.image_resize,
         root=args.data_root, augment_seed=args.seed,
     )
+    # --batch_size is the GLOBAL batch; each process loads + feeds only its
+    # own shard (shard_batch assembles the global array per host)
+    nproc = jax.process_count()
+    if args.batch_size % nproc:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} not divisible by process count {nproc}"
+        )
+    local_bs = args.batch_size // nproc
     loader = BatchLoader(
-        train_set, args.batch_size, shuffle=True, seed=args.seed, drop_last=True,
-        shard_index=jax.process_index(), num_shards=jax.process_count(),
+        train_set, local_bs, shuffle=True, seed=args.seed, drop_last=True,
+        shard_index=jax.process_index(), num_shards=nproc,
     )
     steps_per_epoch = max(len(loader), 1)
     if args.max_steps_per_epoch:
@@ -106,14 +114,16 @@ def main(argv=None):
         loss=args.loss, lr=args.lr, epochs=args.epochs, batch_size=args.batch_size
     )
     optimizer = make_optimizer(tcfg, steps_per_epoch)
-    example = next(iter(BatchLoader(train_set, args.batch_size, prefetch=0)))
+    example = next(iter(BatchLoader(train_set, local_bs, prefetch=0)))
     example = {k: v for k, v in example.items() if not isinstance(v, list)}
     state = create_train_state(net, optimizer, example, seed=args.seed)
     if args.checkpoint:
         state = checkpoints.restore_train_state(args.checkpoint, state)
         print(f"[train] resumed from {args.checkpoint} at step {int(state.step)}")
 
-    mesh = make_mesh() if args.mesh else None
+    # multi-process ALWAYS runs mesh-sharded (the global batch only exists
+    # as a sharded array)
+    mesh = make_mesh() if (args.mesh or nproc > 1) else None
     step_fn = make_train_step(net, tcfg, optimizer, mesh=mesh)
     if args.debug_nan:
         from ..utils.debug import checked

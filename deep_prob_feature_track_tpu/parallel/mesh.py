@@ -46,15 +46,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
     """Device-put array leaves of a batch dict with the batch sharding.
 
-    In multi-process runs use
-    ``jax.make_array_from_process_local_data`` instead (the per-host
-    pipeline already shards via BatchLoader(num_shards=...)).
+    Single-process: a plain ``device_put`` of the global batch.
+    Multi-process (``jax.process_count() > 1``): each host holds only its
+    OWN shard of the global batch (the per-host pipeline shards via
+    ``BatchLoader(num_shards=...)``), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the local array fills this
+    process's addressable devices, no cross-host data movement.
     """
     sharding = batch_sharding(mesh, axis)
+    multiproc = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.ndim >= 1:
-            out[k] = jax.device_put(v, sharding)
+            if multiproc:
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+            else:
+                out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v
     return out
