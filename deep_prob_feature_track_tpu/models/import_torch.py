@@ -84,9 +84,35 @@ def convert_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
         )
         if name.endswith("num_batches_tracked"):
             continue
+        name = _canonical_name(name, state_dict)
+        if name is None:
+            continue
         if not _map_key(name, v, out):
             out["unmapped"][name] = v.shape
     return out
+
+
+# The reference registers each DeepRobustEstimator / DirectSolverNet twice:
+# directly on the facade (mEst_func{i} / solver_func{i},
+# ref LeastSquareTracking.py:163-189) AND inside each TrustRegion module
+# (tr_update{i}.mEstimator / .directSolver, ref algorithms.py:41-42), so the
+# state_dict holds two names for the same tensors.  We map the facade name and
+# drop the alias — unless the primary is somehow absent, in which case the
+# alias is remapped onto the per-level primary name.
+_ALIAS = re.compile(r"tr_update(\d)\.(mEstimator|directSolver)\.(.+)$")
+_ALIAS_PRIMARY = {"mEstimator": "mEst_func", "directSolver": "solver_func"}
+
+
+def _canonical_name(name: str, state_dict: Dict[str, Any]):
+    m = _ALIAS.match(name)
+    if not m:
+        return name
+    idx, kind, rest = m.groups()
+    base = _ALIAS_PRIMARY[kind]
+    for primary in (f"{base}{idx}.{rest}", f"{base}.{rest}"):
+        if primary in state_dict:
+            return None  # duplicate of an already-mapped facade registration
+    return f"{base}{idx}.{rest}"
 
 
 def _map_key(name: str, v: np.ndarray, out) -> bool:

@@ -37,6 +37,28 @@ def install_reference():
         torch.Tensor._dpft_rshift_patch = True
     if _REF not in sys.path:
         sys.path.insert(0, _REF)
+    _patch_ufc_forward()
+
+
+def _patch_ufc_forward():
+    """The reference facade unconditionally passes ``obj_mask1=`` to
+    TrustRegionWUncertainty.forward (LeastSquareTracking.py:351-354), whose
+    signature (algorithms.py:1022) has no such kwarg — the U_FC facade path
+    crashes as shipped.  Accept-and-ignore it so the path executes; the mask
+    is None in our parity tests, matching the reference's (mask-free)
+    numerical behavior."""
+    import models.algorithms as ref_alg
+
+    cls = ref_alg.TrustRegionWUncertainty
+    if getattr(cls, "_dpft_mask_patch", False):
+        return
+    orig = cls.forward
+
+    def forward(self, *args, obj_mask1=None, **kwargs):
+        return orig(self, *args, **kwargs)
+
+    cls.forward = forward
+    cls._dpft_mask_patch = True
 
 
 def reference_options(**overrides):
