@@ -34,7 +34,69 @@ def build_argparser():
     p.add_argument("--obj_only", action="store_true")
     p.add_argument("--output_dir", default="test_results")
     p.add_argument("--time", action="store_true")
+    p.add_argument(
+        "--save_img", type=int, default=0, metavar="N",
+        help="dump per-level feature / sigma / warped-residual mosaics for "
+        "the first N batches (PNG, like the reference's vis_res/vis_feat "
+        "windows; ref algorithms.py:695-710, LeastSquareTracking.py:448-566)",
+    )
     return p
+
+
+def dump_diagnostics(net, variables, loader, out_dir, n_batches, has_mask=False):
+    """Render per-level solver diagnostics to PNG mosaics.
+
+    One directory per batch: ``feat0_l{3..0}.png`` (per-channel grids of the
+    template features with the RGB panel), ``sigma0_l*.png``,
+    ``residual_l*.png`` (channel-mean |weighted residual|, jet).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..utils import display
+
+    @jax.jit
+    def diag_fn(c0, c1, d0, d1, K, m0=None, m1=None):
+        return net.apply(
+            variables, c0, c1, d0, d1, K, obj_mask0=m0, obj_mask1=m1,
+            method="track_diagnostics",
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    for bi, batch in enumerate(loader):
+        if bi >= n_batches:
+            break
+        args = tuple(
+            jnp.asarray(batch[k])
+            for k in ("color0", "color1", "depth0", "depth1", "calib")
+        )
+        masks = ()
+        if has_mask and "obj_mask0" in batch:
+            masks = (jnp.asarray(batch["obj_mask0"]), jnp.asarray(batch["obj_mask1"]))
+        _, diag = diag_fn(*args, *masks)
+        bdir = os.path.join(out_dir, f"batch{bi:03d}")
+        os.makedirs(bdir, exist_ok=True)
+        rgb0 = np.asarray(batch["color0"][0])
+        for lvl in range(4):
+            display.save_image(
+                os.path.join(bdir, f"feat0_l{lvl}.png"),
+                display.visualize_feature_channels(
+                    np.asarray(diag["features0"][lvl][0]), rgb=rgb0
+                ),
+            )
+            display.save_image(
+                os.path.join(bdir, f"sigma0_l{lvl}.png"),
+                display.image_to_display(
+                    np.asarray(diag["sigma0"][lvl][0]).mean(axis=0), cmap="jet"
+                ),
+            )
+            res = np.abs(np.asarray(diag["residual"][lvl][0])).mean(axis=0)
+            display.save_image(
+                os.path.join(bdir, f"residual_l{lvl}.png"),
+                display.image_to_display(res, cmap="jet"),
+            )
+    print(f"[evaluate] wrote diagnostics mosaics to {out_dir}")
 
 
 def main(argv=None):
@@ -126,6 +188,11 @@ def main(argv=None):
             print(f"{key}: no ground truth; {info['R_est'].shape[0]} poses estimated")
 
     out_dir = os.path.join(args.output_dir, ckpt_name)
+    if args.save_img > 0 and args.tracker == "learning_based":
+        dump_diagnostics(
+            net, variables, next(iter(loaders.values())),
+            os.path.join(out_dir, "vis"), args.save_img, has_mask=has_mask,
+        )
     df = summarize_results(
         results, keyframes,
         output_csv=os.path.join(out_dir, "summary.csv"),

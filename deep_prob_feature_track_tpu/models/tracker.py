@@ -420,3 +420,96 @@ class LeastSquareTracking(nn.Module):
         else:
             raise ValueError(tt)
         return pose, loss
+
+    def track_diagnostics(
+        self,
+        img0,
+        img1,
+        depth0,
+        depth1,
+        K,
+        obj_mask0=None,
+        obj_mask1=None,
+    ):
+        """Coarse-to-fine solve that also returns per-level visual
+        diagnostics: the encoded feature / uncertainty pyramids and the
+        warped weighted-residual map at each level's final pose.
+
+        TPU-native analogue of the reference's in-loop ``cv2.imshow``
+        debugging (ref algorithms.py:695-710 residual mosaics,
+        LeastSquareTracking.py:448-566 feature/sigma visualization): the
+        solve stays pure and jittable; the caller (``apps/evaluate.py
+        --save_img``) renders the returned arrays to PNG mosaics on host
+        via ``utils/display``.
+
+        :return: ``(pose, diag)`` where ``diag`` maps name -> list indexed
+            by pyramid level (0 = finest): ``features0/1``, ``sigma0/1``,
+            ``residual`` (weighted residual map at the post-level pose),
+            ``invalid`` (bool mask), ``poses`` (per-level (R, t)).
+        """
+        from ..solvers.residuals import (
+            compute_inverse_residuals,
+            compute_warped_residual,
+        )
+
+        cfg = self.cfg
+        (x0, x1, sigma0, sigma1, dpt0_pyr, dpt1_pyr, inv_d0, inv_d1, m0_pyr, m1_pyr, pose) = (
+            self._preprocess(img0, img1, depth0, depth1, None, obj_mask0, obj_mask1, False)
+        )
+        diag = {
+            "features0": x0,
+            "features1": x1,
+            "sigma0": sigma0,
+            "sigma1": sigma1,
+            "residual": [None] * 4,
+            "invalid": [None] * 4,
+            "poses": [None] * 4,
+        }
+        w_prior = jnp.ones_like(inv_d0[3]) * 0.001
+        for level in (3, 2, 1, 0):
+            K_l = W.scale_K(K, level)
+            pose, w_prior, _ = self._level_update(
+                level, pose, x0[level], x1[level], sigma0[level], sigma1[level],
+                inv_d0[level], inv_d1[level], dpt0_pyr[level], dpt1_pyr[level],
+                K_l, w_prior, m0_pyr[level], m1_pyr[level], train=False,
+            )
+            B, _, H, W_ = inv_d0[level].shape
+            tt = cfg.track_type
+            if tt in ("U_IC", "IC"):
+                px, py = W.generate_xy_grid(B, H, W_, K_l)
+                if tt == "U_IC":
+                    out, _, _ = compute_inverse_residuals(
+                        pose, inv_d0[level], inv_d1[level], x0[level], x1[level],
+                        sigma0[level], sigma1[level], px, py, K_l,
+                        obj_mask0=m0_pyr[level], obj_mask1=m1_pyr[level],
+                        remove_tru_sigma=cfg.remove_tru_sigma,
+                    )
+                    res_map, invalid = out.weighted_res, out.invalid
+                else:
+                    res_map, invalid = compute_warped_residual(
+                        pose, inv_d0[level], inv_d1[level], x0[level], x1[level],
+                        px, py, K_l, obj_mask0=m0_pyr[level], obj_mask1=m1_pyr[level],
+                    )
+            elif tt == "U_FC":
+                u, v, dpt_r, depth_valid, _, _ = TR._warp_forward_depth(
+                    dpt0_pyr[level], pose, K_l
+                )
+                occ = W.check_occ(dpt_r, dpt1_pyr[level], u, v) | ~depth_valid
+                f_r = W.warp_features(x1[level], u, v)
+                s_r = W.warp_features(sigma1[level], u, v)
+                res = f_r - x0[level]
+                sig = jnp.sqrt(s_r * s_r + sigma0[level] * sigma0[level])
+                res_map = jnp.where(occ, 1e-6, res / sig)
+                invalid = occ
+            else:  # ICP: warped-depth discrepancy (the point-to-plane input)
+                u, v, dpt_r, depth_valid, _, _ = TR._warp_forward_depth(
+                    dpt0_pyr[level], pose, K_l
+                )
+                dpt1_w = W.warp_features(dpt1_pyr[level], u, v)
+                occ = W.check_occ(dpt_r, dpt1_pyr[level], u, v) | ~depth_valid
+                res_map = jnp.where(occ, 0.0, dpt1_w - dpt_r)
+                invalid = occ
+            diag["residual"][level] = res_map
+            diag["invalid"][level] = invalid
+            diag["poses"][level] = pose
+        return pose, diag

@@ -175,3 +175,28 @@ def test_evaluate_cli_gtless_varylighting(vl_fixture, tmp_path, capsys):
         info = pickle.load(f)
     assert info["R_est"].shape == (4, 3, 3)
     assert "epes" not in info
+
+
+def test_evaluate_cli_save_img(tum_fixture, tmp_path):
+    """--save_img dumps per-level feature / sigma / residual PNG mosaics
+    (round-1 VERDICT next-round #6)."""
+    from deep_prob_feature_track_tpu.apps.evaluate import main
+
+    rc = main(
+        [
+            "--dataset", "TUM_RGBD",
+            "--data_root", "",
+            "--trajectory", tum_fixture,
+            "--preset", "RGB",
+            "--keyframes", "1",
+            "--batch_size", "2",
+            "--output_dir", str(tmp_path / "results_si"),
+            "--save_img", "1",
+        ]
+    )
+    assert rc == 0
+    pngs = sorted(p.name for p in (tmp_path / "results_si").rglob("*.png"))
+    for lvl in range(4):
+        assert f"feat0_l{lvl}.png" in pngs
+        assert f"sigma0_l{lvl}.png" in pngs
+        assert f"residual_l{lvl}.png" in pngs
