@@ -52,13 +52,28 @@ class _BaseTracker:
 
 
 class ICPOdometry(_BaseTracker):
-    """Multiscale point-to-plane ICP (ref tools/ICP.py Point2Plane).
+    """Geometric ICP baselines (ref tools/ICP.py modes).
 
-    :param max_iter: GN iterations per pyramid level (Open3D default 10)
+    ``mode``:
+
+    * ``'Point2Plane'`` — multiscale point-to-plane (ref ICP.py:101-126),
+      ``max_iter`` GN iterations per pyramid level (Open3D default 10)
+    * ``'Point2Point'`` — single-scale point-to-point with projective
+      association (ref ICP.py:94-99; KD-tree NN association replaced by
+      the jittable projective variant)
+    * ``'Iter_Point2Plane'`` — coarse-to-fine schedule with the reference's
+      per-scale iteration counts [50, 30, 14] (ref ICP.py:138-168: 3 voxel
+      scales; here 3 pyramid scales — the image-space analogue of voxel
+      downsampling)
     """
 
-    def __init__(self, max_iter: int = 10, levels=(3, 2, 1, 0)):
+    _ITER_SCHEDULE = ((2, 50), (1, 30), (0, 14))  # ref ICP.py:140-141
+
+    def __init__(self, mode: str = "Point2Plane", max_iter: int = 10, levels=(3, 2, 1, 0)):
         super().__init__()
+        if mode not in ("Point2Plane", "Point2Point", "Iter_Point2Plane"):
+            raise NotImplementedError(mode)
+        self.mode = mode
         self.max_iter = max_iter
         self.levels = levels
 
@@ -69,10 +84,13 @@ class ICPOdometry(_BaseTracker):
         from ..geometry.warp import scale_K
         from ..ops.image import image_pyramid
         from ..solvers.icp import ICPSigmaModel
-        from ..solvers.trust_region import tr_icp_level
+        from ..solvers.trust_region import tr_icp_level, tr_icp_point_level
 
-        max_iter = self.max_iter
-        levels = self.levels
+        mode = self.mode
+        if mode == "Iter_Point2Plane":
+            schedule = self._ITER_SCHEDULE
+        else:
+            schedule = tuple((lvl, self.max_iter) for lvl in self.levels)
 
         @jax.jit
         def track(color0, depth0, color1, depth1, K):
@@ -83,10 +101,21 @@ class ICPOdometry(_BaseTracker):
                 jnp.broadcast_to(jnp.eye(3, dtype=depth0.dtype), (B, 3, 3)),
                 jnp.zeros((B, 3), depth0.dtype),
             )
-            for lvl in levels:
+            if mode == "Point2Point":
+                # single-scale like the reference (0.02 max-corr dist on the
+                # full cloud); a short coarse warm-up keeps projective
+                # association in its convergence basin
+                pose, _ = tr_icp_point_level(
+                    pose, d0[2], d1[2], scale_K(K, 2), max_iter=10, dist_thr=0.10
+                )
+                pose, _ = tr_icp_point_level(
+                    pose, d0[0], d1[0], K, max_iter=30, dist_thr=0.05
+                )
+                return pose
+            for lvl, iters in schedule:
                 pose, _, _ = tr_icp_level(
                     pose, d0[lvl], d1[lvl], scale_K(K, lvl),
-                    max_iter=max_iter, direction="inverse",
+                    max_iter=iters, direction="inverse",
                     sigma_model=ICPSigmaModel(baseline=1.0),
                 )
             return pose
@@ -101,14 +130,29 @@ class RGBDOdometry(_BaseTracker):
     photometric IC Gauss-Newton; 'hybrid' additionally fuses the
     point-to-plane ICP term into the same normal equations with a fixed
     scale (the classical Park et al. style balance).
+
+    ``schedule`` overrides the per-level (level, iterations) plan; the
+    reference's iterative colored-ICP plan [50, 30, 14] over 3 scales
+    (ref ICP.py:138-141, 169-175) is ``((2, 50), (1, 30), (0, 14))``.
     """
 
-    def __init__(self, term: str = "hybrid", max_iter: int = 10, icp_scale: float = 0.2):
+    def __init__(
+        self,
+        term: str = "hybrid",
+        max_iter: int = 10,
+        icp_scale: float = 0.2,
+        schedule=None,
+    ):
         super().__init__()
         assert term in ("color", "hybrid")
         self.term = term
         self.max_iter = max_iter
         self.icp_scale = icp_scale
+        self.schedule = (
+            tuple(schedule)
+            if schedule is not None
+            else tuple((lvl, max_iter) for lvl in (3, 2, 1, 0))
+        )
 
     def _build(self):
         import jax
@@ -120,8 +164,8 @@ class RGBDOdometry(_BaseTracker):
         from ..solvers.trust_region import tr_uic_level
 
         term = self.term
-        max_iter = self.max_iter
         icp_scale = self.icp_scale
+        schedule = self.schedule
 
         @jax.jit
         def track(color0, depth0, color1, depth1, K):
@@ -146,14 +190,14 @@ class RGBDOdometry(_BaseTracker):
             def fixed_scale(icp_res, feat_res, wp):
                 return jnp.ones_like(icp_res) * icp_scale
 
-            for lvl in (3, 2, 1, 0):
+            for lvl, iters in schedule:
                 ones = jnp.ones_like(f0[lvl])
                 pose, _, _ = tr_uic_level(
                     pose, f0[lvl], f1[lvl], iv0[lvl], iv1[lvl], scale_K(K, lvl),
                     ones, ones,
                     depth0=dp0[lvl], depth1=dp1[lvl],
                     scale_fn=fixed_scale,
-                    max_iter=max_iter,
+                    max_iter=iters,
                     combine_icp=(term == "hybrid"),
                 )
             return pose

@@ -30,7 +30,9 @@ def build_argparser():
     p.add_argument("--image_resize", type=float, default=0.25)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--tracker", default="learning_based",
-                   choices=("learning_based", "ICP", "RGBD", "ColorICP"))
+                   choices=("learning_based", "ICP", "Point2Point",
+                            "Iter_Point2Plane", "RGBD", "ColorICP",
+                            "Iter_ColorICP"))
     p.add_argument("--obj_only", action="store_true")
     p.add_argument("--output_dir", default="test_results")
     p.add_argument("--time", action="store_true")
@@ -128,8 +130,13 @@ def main(argv=None):
 
         tracker = {
             "ICP": lambda: ICPOdometry(),
+            "Point2Point": lambda: ICPOdometry(mode="Point2Point"),
+            "Iter_Point2Plane": lambda: ICPOdometry(mode="Iter_Point2Plane"),
             "RGBD": lambda: RGBDOdometry(term="hybrid"),
             "ColorICP": lambda: RGBDOdometry(term="color"),
+            "Iter_ColorICP": lambda: RGBDOdometry(
+                term="color", schedule=((2, 50), (1, 30), (0, 14))
+            ),
         }[args.tracker]()
         ckpt_name = f"nolearning_{args.tracker}"
 

@@ -161,6 +161,68 @@ def icp_residuals_forward(
     return res, J, occ
 
 
+def icp_residuals_point2point(
+    vertex0,
+    vertex1,
+    pose10,
+    K,
+    dist_thr: float = 0.05,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Point-to-point ICP residual + Jacobian via projective association.
+
+    Covers the reference's Open3D ``TransformationEstimationPointToPoint``
+    baseline (ref tools/ICP.py:94-99).  Open3D associates correspondences
+    with a KD-tree nearest-neighbour search; on TPU the association is
+    projective (render ``T v0`` into frame 1, gather ``v1`` there) — the
+    standard real-time formulation of the same objective, batched and
+    jittable (no data-dependent tree walks).
+
+    ``res = T v0 - v1_r`` (3 channels); per-pixel Jacobian of the
+    right-composed update ``T o exp(xi)`` is ``[-R [v0]x | R]`` (twist
+    order [rot, trs]), sign-flipped so the caller's ``xi = H^{-1} JtR``
+    convention (shared with the other ICP tracks) yields the descent step.
+
+    :return: ``(res [B,3,H,W], J [B,HW,3,6], occ [B,1,H,W])``
+    """
+    R, t = pose10
+    B, _, H, W_ = vertex0.shape
+    hw = H * W_
+    v0 = vertex0.reshape(B, 3, hw)
+    v0_in_1 = R @ v0 + t[:, :, None]
+
+    fx, fy, cx, cy = K[:, 0:1], K[:, 1:2], K[:, 2:3], K[:, 3:4]
+    u_ = (v0_in_1[:, 0] / v0_in_1[:, 2]) * fx + cx
+    v_ = (v0_in_1[:, 1] / v0_in_1[:, 2]) * fy + cy
+    inviews = (u_ > 0) & (u_ < W_ - 1) & (v_ > 0) & (v_ < H - 1)
+
+    u_map = u_.reshape(B, 1, H, W_)
+    v_map = v_.reshape(B, 1, H, W_)
+    (r_vertex1,) = W.warp_multi([vertex1], u_map, v_map)
+
+    diff = v0_in_1 - r_vertex1.reshape(B, 3, hw)  # [B,3,HW]
+    dist = jnp.linalg.norm(diff.reshape(B, 3, H, W_), axis=1, keepdims=True)
+    occ = ~inviews.reshape(B, 1, H, W_) | (dist > dist_thr)
+
+    # J_true = [-R [v0]x | R] per pixel; pass -J_true (solver convention)
+    v0_pix = jnp.swapaxes(v0, 1, 2)  # [B,HW,3]
+    J_rot = jnp.einsum("bcd,bpde->bpce", R, skew(v0_pix))  # R [v0]x
+    J_trs = -jnp.broadcast_to(R[:, None], (B, hw, 3, 3))
+    J = jnp.concatenate([J_rot, J_trs], axis=-1)  # [B,HW,3,6]
+
+    res = jnp.where(occ, 0.0, diff.reshape(B, 3, H, W_))
+    J = jnp.where(occ.reshape(B, hw, 1, 1), 0.0, J)
+    return res, J, occ
+
+
+def icp_p2p_jtj_jtr(J: jnp.ndarray, res: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """3-channel JtJ/JtR reduction for the point-to-point residual."""
+    B, hw = J.shape[0], J.shape[1]
+    r = res.reshape(B, 3, hw).transpose(0, 2, 1)  # [B,HW,3]
+    JtJ = jnp.einsum("bpci,bpcj->bij", J, J)
+    JtR = jnp.einsum("bpci,bpc->bi", J, r)[..., None]
+    return JtJ, JtR
+
+
 def icp_jtj_jtr(J: jnp.ndarray, res: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One-channel JtJ/JtR reduction: a single [B,6,HW]@[B,HW,6] matmul.
 

@@ -595,6 +595,47 @@ def tr_icp_level(
     return pose, weights, carry[2]
 
 
+def tr_icp_point_level(
+    pose: Pose,
+    depth0,
+    depth1,
+    K,
+    max_iter: int = 10,
+    dist_thr: float = 0.05,
+    unroll: bool = False,
+):
+    """One level of point-to-point ICP (the reference's Open3D Point2Point
+    baseline, ref tools/ICP.py:94-99) with projective association.
+
+    Forward-compositional GN over the 3-channel ``T v0 - v1_r`` residual.
+    :return: ``(pose, JtJ)``
+    """
+    B, _, H, W_ = depth0.shape
+    px, py = W.generate_xy_grid(B, H, W_, K)
+    vertex0 = W.compute_vertex(depth0, px, py)
+    vertex1 = W.compute_vertex(depth1, px, py)
+
+    def gn_iteration(_, carry):
+        R, t, _ = carry
+        p = (R, t)
+        residuals, J, occ = icp_mod.icp_residuals_point2point(
+            vertex0, vertex1, p, K, dist_thr=dist_thr
+        )
+        JtJ, JtR = icp_mod.icp_p2p_jtj_jtr(J, residuals)
+        Hd = lev_mar_damp(JtJ)
+        R_new, t_new = forward_update_pose(Hd, JtR, p)
+        return (R_new, t_new, JtJ)
+
+    jtj0 = jnp.zeros((B, 6, 6), dtype=jnp.result_type(depth0, K))
+    carry = (pose[0], pose[1], jtj0)
+    if unroll:
+        for i in range(max_iter):
+            carry = gn_iteration(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, max_iter, gn_iteration, carry)
+    return (carry[0], carry[1]), carry[2]
+
+
 def tr_icp_residual(
     pose, depth0, depth1, K, w_prior=None, obj_mask1=None,
     sigma_model: icp_mod.ICPSigmaModel = icp_mod.ICPSigmaModel(baseline=1.0),
