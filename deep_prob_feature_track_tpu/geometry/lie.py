@@ -130,37 +130,99 @@ def quat_to_matrix(quat: jnp.ndarray) -> jnp.ndarray:
     return m.reshape(quat.shape[:-1] + (3, 3))
 
 
-def euler_to_matrix(ai: jnp.ndarray, aj: jnp.ndarray, ak: jnp.ndarray) -> jnp.ndarray:
-    """Batched 'sxyz' euler angles -> rotation matrix.
+# The 24 euler-angle conventions, encoded as (first axis, parity,
+# repetition, frame) — the canonical transforms3d/Gohlke parameterization
+# that the reference also ports (geometry.py:447-553).  's'=static
+# (extrinsic) frame, 'r'=rotating (intrinsic); the 4-tuple drives one
+# shared closed form instead of 24 separate formulas.
+_EULER_AXES = {
+    "sxyz": (0, 0, 0, 0), "sxyx": (0, 0, 1, 0), "sxzy": (0, 1, 0, 0),
+    "sxzx": (0, 1, 1, 0), "syzx": (1, 0, 0, 0), "syzy": (1, 0, 1, 0),
+    "syxz": (1, 1, 0, 0), "syxy": (1, 1, 1, 0), "szxy": (2, 0, 0, 0),
+    "szxz": (2, 0, 1, 0), "szyx": (2, 1, 0, 0), "szyz": (2, 1, 1, 0),
+    "rzyx": (0, 0, 0, 1), "rxyx": (0, 0, 1, 1), "ryzx": (0, 1, 0, 1),
+    "rxzx": (0, 1, 1, 1), "rxzy": (1, 0, 0, 1), "ryzy": (1, 0, 1, 1),
+    "rzxy": (1, 1, 0, 1), "ryxy": (1, 1, 1, 1), "ryxz": (2, 0, 0, 1),
+    "rzxz": (2, 0, 1, 1), "rxyz": (2, 1, 0, 1), "rzyz": (2, 1, 1, 1),
+}
+_NEXT_AXIS = (1, 2, 0, 1)
 
-    The reference ports all 24 transforms3d conventions (geometry.py:447-504)
-    but only ever calls the default 'sxyz'; we implement that convention
-    directly: R = Rz(ak) @ Ry(aj) @ Rx(ai) in the static frame.
+
+def euler_to_matrix(
+    ai: jnp.ndarray, aj: jnp.ndarray, ak: jnp.ndarray, axes: str = "sxyz"
+) -> jnp.ndarray:
+    """Batched euler angles -> rotation matrix, any of the 24 conventions.
+
+    Parity target: reference ``batch_euler2mat`` (geometry.py:447-504),
+    itself a port of transforms3d.euler.euler2mat.  ``axes`` is static
+    (resolved at trace time), so under jit each convention compiles to a
+    straight-line closed form; the default 'sxyz' (the only convention the
+    reference's models ever call) is R = Rz(ak) @ Ry(aj) @ Rx(ai).
     """
+    first, parity, repetition, frame = _EULER_AXES[axes]
+    i = first
+    j = _NEXT_AXIS[i + parity]
+    k = _NEXT_AXIS[i - parity + 1]
+    if frame:
+        ai, ak = ak, ai
+    if parity:
+        ai, aj, ak = -ai, -aj, -ak
+
     si, sj, sk = jnp.sin(ai), jnp.sin(aj), jnp.sin(ak)
     ci, cj, ck = jnp.cos(ai), jnp.cos(aj), jnp.cos(ak)
     cc, cs = ci * ck, ci * sk
     sc, ss = si * ck, si * sk
-    row0 = jnp.stack([cj * ck, sj * sc - cs, sj * cc + ss], axis=-1)
-    row1 = jnp.stack([cj * sk, sj * ss + cc, sj * cs - sc], axis=-1)
-    row2 = jnp.stack([-sj, cj * si, cj * ci], axis=-1)
-    return jnp.stack([row0, row1, row2], axis=-2)
+
+    m = [[None] * 3 for _ in range(3)]
+    if repetition:
+        m[i][i], m[i][j], m[i][k] = cj, sj * si, sj * ci
+        m[j][i], m[j][j], m[j][k] = sj * sk, -cj * ss + cc, -cj * cs - sc
+        m[k][i], m[k][j], m[k][k] = -sj * ck, cj * sc + cs, cj * cc - ss
+    else:
+        m[i][i], m[i][j], m[i][k] = cj * ck, sj * sc - cs, sj * cc + ss
+        m[j][i], m[j][j], m[j][k] = cj * sk, sj * ss + cc, sj * cs - sc
+        m[k][i], m[k][j], m[k][k] = -sj, cj * si, cj * ci
+    rows = [jnp.stack(r, axis=-1) for r in m]
+    return jnp.stack(rows, axis=-2)
 
 
-def matrix_to_euler(M: jnp.ndarray):
-    """Inverse of :func:`euler_to_matrix` ('sxyz'), vectorized.
+def matrix_to_euler(M: jnp.ndarray, axes: str = "sxyz"):
+    """Inverse of :func:`euler_to_matrix`, vectorized, any convention.
 
-    Reference: geometry.py:506-553 (non-repetition branch, i=0,j=1,k=2).
+    Reference: ``batch_mat2euler`` (geometry.py:506-553); the gimbal-lock
+    branch is a ``where`` select instead of data-dependent control flow so
+    the whole thing stays jit- and vmap-compatible.
     """
-    cy = jnp.sqrt(M[..., 0, 0] ** 2 + M[..., 1, 0] ** 2)
-    degenerate = cy <= 1e-8
-    ax = jnp.where(
-        degenerate,
-        jnp.arctan2(-M[..., 1, 2], M[..., 1, 1]),
-        jnp.arctan2(M[..., 2, 1], M[..., 2, 2]),
-    )
-    ay = jnp.arctan2(-M[..., 2, 0], cy)
-    az = jnp.where(degenerate, 0.0, jnp.arctan2(M[..., 1, 0], M[..., 0, 0]))
+    first, parity, repetition, frame = _EULER_AXES[axes]
+    i = first
+    j = _NEXT_AXIS[i + parity]
+    k = _NEXT_AXIS[i - parity + 1]
+
+    if repetition:
+        sy = jnp.sqrt(M[..., i, j] ** 2 + M[..., i, k] ** 2)
+        degenerate = sy <= 1e-8
+        ax = jnp.where(
+            degenerate,
+            jnp.arctan2(-M[..., j, k], M[..., j, j]),
+            jnp.arctan2(M[..., i, j], M[..., i, k]),
+        )
+        ay = jnp.arctan2(sy, M[..., i, i])
+        az = jnp.where(degenerate, 0.0, jnp.arctan2(M[..., j, i], -M[..., k, i]))
+    else:
+        cy = jnp.sqrt(M[..., i, i] ** 2 + M[..., j, i] ** 2)
+        degenerate = cy <= 1e-8
+        ax = jnp.where(
+            degenerate,
+            jnp.arctan2(-M[..., j, k], M[..., j, j]),
+            jnp.arctan2(M[..., k, j], M[..., k, k]),
+        )
+        ay = jnp.arctan2(-M[..., k, i], cy)
+        az = jnp.where(degenerate, 0.0, jnp.arctan2(M[..., j, i], M[..., i, i]))
+
+    if parity:
+        ax, ay, az = -ax, -ay, -az
+    if frame:
+        ax, az = az, ax
     return ax, ay, az
 
 

@@ -124,3 +124,46 @@ def test_matrix4_roundtrip(rng):
     R2, t2 = lie.matrix4_to_Rt(T)
     np.testing.assert_allclose(np.asarray(R2), np.asarray(R))
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t))
+
+
+ALL_EULER_AXES = sorted(lie._EULER_AXES)
+
+
+@pytest.mark.parametrize("axes", ALL_EULER_AXES)
+def test_euler_all_conventions_match_reference(rng, axes):
+    """All 24 transforms3d conventions vs the reference torch port
+    (geometry.py:447-553)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_ref import install_reference
+
+    install_reference()
+    import torch
+    from models import geometry as ref_geo
+
+    angles = rng.uniform(-1.2, 1.2, size=(6, 3))
+    ai, aj, ak = (jnp.asarray(angles[:, c]) for c in range(3))
+    R = np.asarray(lie.euler_to_matrix(ai, aj, ak, axes=axes))
+    R_ref = (
+        ref_geo.batch_euler2mat(*(torch.tensor(angles[:, c]) for c in range(3)), axes=axes)
+        .numpy()
+    )
+    np.testing.assert_allclose(R, R_ref, atol=1e-6)
+
+    # inverse parity on the same matrices
+    e = lie.matrix_to_euler(jnp.asarray(R), axes=axes)
+    e_ref = ref_geo.batch_mat2euler(torch.tensor(R), axes=axes)
+    for ours, theirs in zip(e, e_ref):
+        np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-6)
+
+
+@pytest.mark.parametrize("axes", ALL_EULER_AXES)
+def test_euler_all_conventions_roundtrip(rng, axes):
+    """euler -> matrix -> euler -> matrix reproduces the rotation (angle
+    triples themselves are not unique, matrices are)."""
+    angles = rng.uniform(-1.0, 1.0, size=(5, 3))
+    ai, aj, ak = (jnp.asarray(angles[:, c]) for c in range(3))
+    R1 = lie.euler_to_matrix(ai, aj, ak, axes=axes)
+    e = lie.matrix_to_euler(R1, axes=axes)
+    R2 = lie.euler_to_matrix(*e, axes=axes)
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R1), atol=1e-5)
