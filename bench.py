@@ -7,19 +7,23 @@ host's CPU measured at 6.0 frames/s (B=8, 120x160, feature preset config:
 ConvRGBD2 + laplacian uncertainty + U_IC solver + sfm_net init; measured
 with torch.set_num_threads(8); see BENCH_BASELINE.json).  The north-star
 target is >=10x reference frames/s per chip.
+
+``python bench.py --sweep`` additionally measures 640x480 and B in {8,64}
+(one JSON line per point) — the beyond-paper-resolution grid of
+docs/PERF.md.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_FPS = 6.0  # reference torch CPU frames/s (B=8, 120x160)
-B, H, W = 8, 120, 160
 
 
-def main():
+def _setup_cache():
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
@@ -29,6 +33,11 @@ def main():
     except Exception:
         pass
 
+
+def measure_eval(B, H, W, lo=10, hi=30):
+    """Compile + slope-time the eval forward at (B, H, W); returns fps."""
+    import jax
+
     from deep_prob_feature_track_tpu.models.presets import get_preset
     from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
 
@@ -37,7 +46,11 @@ def main():
     img1 = rng.rand(B, 3, H, W).astype(np.float32)
     d0 = rng.uniform(0.5, 3.0, (B, 1, H, W)).astype(np.float32)
     d1 = rng.uniform(0.5, 3.0, (B, 1, H, W)).astype(np.float32)
-    K = np.tile([[131.25, 131.25, 79.875, 59.875]], (B, 1)).astype(np.float32)
+    # TUM fr1 intrinsics scaled to the target resolution
+    K = np.tile(
+        [[525.0 * W / 640, 525.0 * H / 480, (W - 0.5) / 2, (H - 0.5) / 2]],
+        (B, 1),
+    ).astype(np.float32)
 
     net = LeastSquareTracking(cfg=get_preset("feature"))
     args = tuple(map(np.asarray, (img0, img1, d0, d1, K)))
@@ -63,15 +76,19 @@ def main():
     # slope between two pipelined iteration counts: removes the fixed
     # relay round-trip of this dev environment AND verifies the chain
     # really executes (total time must scale with the iteration count)
-    t10 = timed(10)
-    t30 = timed(30)
-    assert t30 > 2.0 * t10, (
-        f"pipelined timing not scaling with iterations (t10={t10:.3f}, "
-        f"t30={t30:.3f}): execution may be escaping the sync"
+    t_lo = timed(lo)
+    t_hi = timed(hi)
+    assert t_hi > 2.0 * t_lo, (
+        f"pipelined timing not scaling with iterations (t{lo}={t_lo:.3f}, "
+        f"t{hi}={t_hi:.3f}): execution may be escaping the sync"
     )
-    dt = (t30 - t10) / 20.0
-    fps = B / dt
+    dt = (t_hi - t_lo) / float(hi - lo)
+    return B / dt
 
+
+def main():
+    _setup_cache()
+    fps = measure_eval(8, 120, 160)
     print(
         json.dumps(
             {
@@ -84,5 +101,35 @@ def main():
     )
 
 
+def sweep():
+    """640x480 + batch grid (VERDICT round-1 item #5): one line per point."""
+    _setup_cache()
+    grid = [
+        (8, 120, 160, 10, 30),
+        (64, 120, 160, 10, 30),
+        (8, 480, 640, 4, 12),
+        # B=64 at 480x640 exceeds single-chip HBM; B=16 crashes this
+        # environment's remote-compile helper (both documented in PERF.md)
+    ]
+    for B, H, W, lo, hi in grid:
+        fps = measure_eval(B, H, W, lo=lo, hi=hi)
+        print(
+            json.dumps(
+                {
+                    "metric": f"two_view_tracking_fps_feature_preset_{H}x{W}_b{B}",
+                    "value": round(fps, 2),
+                    "unit": "frames/s",
+                    "vs_baseline": (
+                        round(fps / BASELINE_FPS, 2) if (H, W, B) == (120, 160, 8) else None
+                    ),
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if "--sweep" in sys.argv:
+        sweep()
+    else:
+        main()

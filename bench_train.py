@@ -5,10 +5,14 @@ Prints ONE JSON line with train frames/s for the paper configuration
 the reference implementation's measured train-step throughput on this
 host's CPU (see BENCH_BASELINE.json for the eval-side methodology; the
 train baseline below was measured the same way with backward+Adam).
+
+``python bench_train.py --sweep`` additionally measures 640x480 (one JSON
+line per point) — the beyond-paper-resolution grid of docs/PERF.md.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -17,12 +21,10 @@ import numpy as np
 # measured 2026-08-17 at 2.677 s/batch -> 2.99 frames/s (needed a split->clone
 # patch: the reference trains only after fixing its in-place view squeeze)
 BASELINE_TRAIN_FPS = 2.99
-B, H, W = 64, 120, 160
 
 
-def main():
+def _setup_cache():
     import jax
-    import jax.numpy as jnp
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
@@ -30,6 +32,11 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def measure_train(B, H, W, lo=2, hi=6):
+    """Compile + slope-time the full train step at (B, H, W); returns fps."""
+    import jax
 
     from deep_prob_feature_track_tpu.models.presets import get_preset
     from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
@@ -48,7 +55,10 @@ def main():
         "color1": rng.rand(B, 3, H, W).astype(np.float32),
         "depth0": rng.uniform(0.5, 3.0, (B, 1, H, W)).astype(np.float32),
         "depth1": rng.uniform(0.5, 3.0, (B, 1, H, W)).astype(np.float32),
-        "calib": np.tile([[131.25, 131.25, 79.875, 59.875]], (B, 1)).astype(np.float32),
+        "calib": np.tile(
+            [[525.0 * W / 640, 525.0 * H / 480, (W - 0.5) / 2, (H - 0.5) / 2]],
+            (B, 1),
+        ).astype(np.float32),
         "transform": T,
         "pad_mask": np.ones((B,), bool),
     }
@@ -78,14 +88,18 @@ def main():
         float(metrics["loss"])
         return time.perf_counter() - t0, state
 
-    t2, state = timed(state, 2)
-    t6, state = timed(state, 6)
-    assert t6 > 2.0 * t2, (
-        f"chained timing not scaling with steps (t2={t2:.3f}, t6={t6:.3f})"
+    t_lo, state = timed(state, lo)
+    t_hi, state = timed(state, hi)
+    assert t_hi > 2.0 * t_lo, (
+        f"chained timing not scaling with steps (t{lo}={t_lo:.3f}, t{hi}={t_hi:.3f})"
     )
-    dt = (t6 - t2) / 4.0
-    fps = B / dt
+    dt = (t_hi - t_lo) / float(hi - lo)
+    return B / dt
 
+
+def main():
+    _setup_cache()
+    fps = measure_train(64, 120, 160)
     print(
         json.dumps(
             {
@@ -98,5 +112,31 @@ def main():
     )
 
 
+def sweep():
+    """640x480 + batch grid (VERDICT round-1 item #5): one line per point."""
+    _setup_cache()
+    grid = [(64, 120, 160, 2, 6), (8, 120, 160, 2, 6), (8, 480, 640, 2, 6)]
+    for B, H, W, lo, hi in grid:
+        fps = measure_train(B, H, W, lo=lo, hi=hi)
+        print(
+            json.dumps(
+                {
+                    "metric": f"train_step_fps_feature_preset_{H}x{W}_b{B}",
+                    "value": round(fps, 2),
+                    "unit": "frames/s",
+                    "vs_baseline": (
+                        round(fps / BASELINE_TRAIN_FPS, 2)
+                        if (H, W, B) == (120, 160, 64)
+                        else None
+                    ),
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if "--sweep" in sys.argv:
+        sweep()
+    else:
+        main()
