@@ -173,9 +173,10 @@ def _bilinear_gather_fast(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
 
     Custom VJP: XLA's automatic gather transpose materializes the corner
     cotangents in the [B,N,2,2,C] layout (the exact tiling blow-up the
-    forward avoids), OOMing training; the hand-written backward re-gathers
-    the corners (cheaper than saving them) and scatter-adds per-corner
-    [B,N,C] updates instead.
+    forward avoids), OOMing training; the hand-written backward reuses the
+    forward's corners (saved as residuals) for the coordinate gradients
+    and splats the operand cotangent with two-hot MXU matmuls
+    (:func:`_splat_twohot`).
     """
     starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
     return _blend(_gather_corners(operand, starts), du, dv)
@@ -189,8 +190,15 @@ def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
 
 
 def _bilinear_gather_fwd(operand, u, v):
-    out = _bilinear_gather_fast(operand, u, v)
-    return out, (operand, u, v)
+    # save the gathered corners for the backward pass: they are already
+    # materialized (in the good [B,2,2,C,N] layout) on the way to the
+    # blend, and reading them back sequentially costs ~1 ms where the
+    # backward's corner re-gather measured 29.8 ms at the level-0 train
+    # shape (docs/PERF.md round 2)
+    starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
+    corners = _gather_corners(operand, starts)
+    out = _blend(corners, du, dv)
+    return out, (operand, corners, u, v)
 
 
 _SPLAT_BLK = 1920  # samples per two-hot matmul block (tuned on v5e)
@@ -250,31 +258,41 @@ def _splat_twohot(shape, starts, du, dv, g):
         far = (iota[None, None, :] == (idx + 1)[..., None]).astype(dtype)
         return near * (1 - frac[..., None]) + far * frac[..., None]
 
+    # The dominant cost is materializing P [blk, side*C] each block (the
+    # einsum itself rides the MXU): build P from the SMALLER spatial side
+    # — measured 16.3 vs 22.5 ms at the level-0 train shape (H=120<W=160).
+    h_side = H <= W
+
     def body(acc, xs):
         u0b, dub, v0b, dvb, gb = xs
         U = twohot(u0b, dub, iw)  # [B,blk,W]
         V = twohot(v0b, dvb, ih)  # [B,blk,H]
-        P = (U[:, :, :, None] * gb[:, :, None, :]).reshape(B, blk, W * C)
-        acc = acc + jnp.einsum("bkh,bkm->bhm", V, P, precision="high")
+        if h_side:
+            P = (V[:, :, :, None] * gb[:, :, None, :]).reshape(B, blk, H * C)
+            acc = acc + jnp.einsum("bkw,bkm->bwm", U, P, precision="high")
+        else:
+            P = (U[:, :, :, None] * gb[:, :, None, :]).reshape(B, blk, W * C)
+            acc = acc + jnp.einsum("bkh,bkm->bhm", V, P, precision="high")
         return acc, None
 
     def to_blocks(x):
         return jnp.moveaxis(x.reshape(B, nblk, blk, *x.shape[2:]), 1, 0)
 
     xs = tuple(to_blocks(x) for x in (u0, du_, v0, dv_, g_nc))
-    acc0 = jnp.zeros((B, H, W * C), dtype)
+    acc0 = jnp.zeros((B, W, H * C) if h_side else (B, H, W * C), dtype)
     if nblk == 1:
         acc, _ = body(acc0, tuple(x[0] for x in xs))
     else:
         acc, _ = jax.lax.scan(body, acc0, xs)
+    if h_side:
+        return jnp.swapaxes(acc.reshape(B, W, H, C), 1, 2)
     return acc.reshape(B, H, W, C)
 
 
 def _bilinear_gather_bwd(res, g):
-    operand, u, v = res
+    operand, corners, u, v = res
     B, H, W, C = operand.shape
     starts, du, dv, uf, vf = _corner_weights(operand.shape, u, v)
-    corners = _gather_corners(operand, starts)  # recompute: cheaper than saving
 
     # d out / d coordinates (within-cell bilinear derivative)
     gx_map = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dv) + (
