@@ -16,6 +16,7 @@ coordinates.
 
 from __future__ import annotations
 
+import os
 
 import jax
 import jax.numpy as jnp
@@ -167,9 +168,37 @@ def _bilinear_gather_tiny(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     )
 
 
+def _twohot_eval_enabled(shape, dtype) -> bool:
+    """Gate for the Pallas two-hot eval kernel (ops/pallas/gather.py).
+
+    Auto mode enables it on TPU backends only: the kernel is 2.2x the XLA
+    gather on a v5e chip but numerically 'high'- rather than f32-exact
+    (~5e-5); ``DPFT_PALLAS_GATHER=0`` restores the exact gather path,
+    ``=1`` forces it (tests force it on CPU via interpret mode).
+    """
+    flag = os.environ.get("DPFT_PALLAS_GATHER", "auto")
+    if flag == "0":
+        return False
+    from ..ops.pallas.gather import supported
+
+    if not supported(shape, dtype):
+        return False
+    if flag == "1":
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 @jax.custom_vjp
 def _bilinear_gather_fast(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     """Core bilinear gather on a channels-last operand [B,H,W,C] -> [B,C,N].
+
+    The primal (eval) path dispatches to the Pallas two-hot MXU kernel on
+    TPU (2.2x the XLA gather; see ops/pallas/gather.py).  Under autodiff
+    the fwd rule below keeps the XLA corner gather: the backward reuses
+    the materialized corners as VJP residuals.
 
     Custom VJP: XLA's automatic gather transpose materializes the corner
     cotangents in the [B,N,2,2,C] layout (the exact tiling blow-up the
@@ -178,7 +207,16 @@ def _bilinear_gather_fast(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     and splats the operand cotangent with two-hot MXU matmuls
     (:func:`_splat_twohot`).
     """
+    B, H, W, C = operand.shape
     starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
+    if _twohot_eval_enabled(operand.shape, operand.dtype):
+        from ..ops.pallas.gather import gather_twohot
+
+        return gather_twohot(
+            operand.reshape(B, H, W * C),
+            starts[..., 0], dv[:, 0, :], starts[..., 1], du[:, 0, :],
+            H=H, W=W, C=C,
+        )
     return _blend(_gather_corners(operand, starts), du, dv)
 
 
