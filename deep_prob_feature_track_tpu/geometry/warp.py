@@ -168,24 +168,45 @@ def _bilinear_gather_tiny(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     )
 
 
-def _twohot_eval_enabled(shape, dtype) -> bool:
-    """Gate for the Pallas two-hot eval kernel (ops/pallas/gather.py).
+def _pallas_interpret() -> bool:
+    return os.environ.get("DPFT_PALLAS_INTERPRET") == "1"
 
-    Auto mode enables it on TPU backends only: the kernel is 2.2x the XLA
-    gather on a v5e chip but numerically 'high'- rather than f32-exact
-    (~5e-5); ``DPFT_PALLAS_GATHER=0`` restores the exact gather path,
-    ``=1`` forces it (tests force it on CPU via interpret mode).
+
+def _twohot_enabled(shape, dtype, kind="eval") -> bool:
+    """Gate for the Pallas two-hot kernels (ops/pallas/gather.py).
+
+    ``kind`` selects the dispatch site: "eval" (forward primal), "train"
+    (autodiff forward emitting the derivative maps), "splat" (backward
+    operand cotangent).  Auto mode enables all three on TPU backends
+    only: the kernels beat the XLA gather/splat 1.5-2.2x on a v5e chip
+    but are numerically 'high'- rather than f32-exact (~5e-5).
+    ``DPFT_PALLAS_GATHER=0`` restores the exact XLA paths, ``=1`` forces
+    them (tests force CPU via interpret mode); per-site overrides
+    ``DPFT_PALLAS_GATHER_EVAL/TRAIN/SPLAT`` take precedence for A/B
+    benchmarking.
     """
-    flag = os.environ.get("DPFT_PALLAS_GATHER", "auto")
+    flag = os.environ.get(
+        f"DPFT_PALLAS_GATHER_{kind.upper()}",
+        os.environ.get("DPFT_PALLAS_GATHER", "auto"),
+    )
     if flag == "0":
         return False
     from ..ops.pallas.gather import supported
 
     if not supported(shape, dtype):
         return False
+    if _pallas_interpret():
+        # CPU tests force the kernels through the Pallas interpreter to
+        # exercise the real dispatch + custom-VJP wiring
+        return True
     if flag == "1":
         return True
     try:
+        # the kernels are batch-partitionable via custom_partitioning
+        # (ops/pallas/gather.py::_batch_partitioned), so auto mode stays
+        # on under a multi-device mesh; spatially-sharded (H-axis) runs
+        # should set DPFT_PALLAS_GATHER=0 — the partitioner would insert
+        # all-gathers there, the XLA gather partitions natively
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
@@ -209,13 +230,13 @@ def _bilinear_gather_fast(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     """
     B, H, W, C = operand.shape
     starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
-    if _twohot_eval_enabled(operand.shape, operand.dtype):
+    if _twohot_enabled(operand.shape, operand.dtype, "eval"):
         from ..ops.pallas.gather import gather_twohot
 
         return gather_twohot(
             operand.reshape(B, H, W * C),
             starts[..., 0], dv[:, 0, :], starts[..., 1], du[:, 0, :],
-            H=H, W=W, C=C,
+            H=H, W=W, C=C, interpret=_pallas_interpret(),
         )
     return _blend(_gather_corners(operand, starts), du, dv)
 
@@ -228,15 +249,32 @@ def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
 
 
 def _bilinear_gather_fwd(operand, u, v):
-    # save the gathered corners for the backward pass: they are already
-    # materialized (in the good [B,2,2,C,N] layout) on the way to the
-    # blend, and reading them back sequentially costs ~1 ms where the
-    # backward's corner re-gather measured 29.8 ms at the level-0 train
-    # shape (docs/PERF.md round 2)
+    # compute the within-cell derivative maps gx/gy here and save THEM as
+    # VJP residuals (not the corners): the forward's corner values are
+    # already materialized on the way to the blend — re-gathering in the
+    # backward measured 29.8 ms at the level-0 train shape (docs/PERF.md
+    # round 2) — and folding the corner differences into [B,C,N] maps
+    # halves the residual bytes vs saving [B,2,2,C,N] corners
+    B, H, W, C = operand.shape
     starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
-    corners = _gather_corners(operand, starts)
-    out = _blend(corners, du, dv)
-    return out, (operand, corners, u, v)
+    if _twohot_enabled(operand.shape, operand.dtype, "train"):
+        from ..ops.pallas.gather import gather_twohot_grads
+
+        out, gx, gy = gather_twohot_grads(
+            operand.reshape(B, H, W * C),
+            starts[..., 0], dv[:, 0, :], starts[..., 1], du[:, 0, :],
+            H=H, W=W, C=C, interpret=_pallas_interpret(),
+        )
+    else:
+        corners = _gather_corners(operand, starts)
+        out = _blend(corners, du, dv)
+        gx = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dv) + (
+            corners[:, 1, 1] - corners[:, 1, 0]
+        ) * dv  # [B,C,N]
+        gy = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - du) + (
+            corners[:, 1, 1] - corners[:, 0, 1]
+        ) * du
+    return out, (operand, gx, gy, u, v)
 
 
 _SPLAT_BLK = 1920  # samples per two-hot matmul block (tuned on v5e)
@@ -328,17 +366,12 @@ def _splat_twohot(shape, starts, du, dv, g):
 
 
 def _bilinear_gather_bwd(res, g):
-    operand, corners, u, v = res
+    operand, gx_map, gy_map, u, v = res
     B, H, W, C = operand.shape
     starts, du, dv, uf, vf = _corner_weights(operand.shape, u, v)
 
-    # d out / d coordinates (within-cell bilinear derivative)
-    gx_map = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dv) + (
-        corners[:, 1, 1] - corners[:, 1, 0]
-    ) * dv  # [B,C,N]
-    gy_map = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - du) + (
-        corners[:, 1, 1] - corners[:, 0, 1]
-    ) * du
+    # d out / d coordinates: contract the cotangent with the within-cell
+    # derivative maps saved by the forward
     g_u = jnp.sum(g * gx_map, axis=1)  # [B,N]
     g_v = jnp.sum(g * gy_map, axis=1)
     # clip passes gradient on the closed interval (jnp.clip VJP semantics)
@@ -347,9 +380,19 @@ def _bilinear_gather_bwd(res, g):
     g_u = jnp.where((u_in >= 0) & (u_in <= W - 1), g_u, 0.0)
     g_v = jnp.where((v_in >= 0) & (v_in <= H - 1), g_v, 0.0)
 
-    # d out / d operand: two-hot matmul splat (see _splat_twohot — XLA's
-    # scatter-add serializes on TPU, the MXU formulation is ~19x faster)
-    d_op = _splat_twohot(operand.shape, starts, du, dv, g)
+    # d out / d operand: two-hot matmul splat (XLA's scatter-add
+    # serializes on TPU, the MXU formulation is ~19x faster); Pallas
+    # keeps the accumulator plane in VMEM for another ~1.7x when enabled
+    if _twohot_enabled(operand.shape, g.dtype, "splat"):
+        from ..ops.pallas.gather import splat_twohot
+
+        d_op = splat_twohot(
+            jnp.swapaxes(g, 1, 2),
+            starts[..., 0], dv[:, 0, :], starts[..., 1], du[:, 0, :],
+            H=H, W=W, C=C, interpret=_pallas_interpret(),
+        )
+    else:
+        d_op = _splat_twohot(operand.shape, starts, du, dv, g)
     return d_op, g_u.reshape(u.shape), g_v.reshape(v.shape)
 
 

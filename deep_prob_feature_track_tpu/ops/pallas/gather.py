@@ -28,9 +28,12 @@ Measured 13.3 ms vs the XLA gather's 29.4 ms at the level-0 train shape
 reason for the 8-block inner unroll: a 1-block-per-step version spends
 10.8 ms in bare harness overhead (docs/PERF.md round-2 notes).
 
-Used for the *eval* primal only: the training forward keeps the XLA
-corner gather because the backward reuses the materialized corners as
-VJP residuals (geometry/warp.py::_bilinear_gather_fwd).
+Three entry points share the scheme: `gather_twohot` (eval primal),
+`gather_twohot_grads` (training forward, also emitting the within-cell
+derivative maps saved as VJP residuals), and `splat_twohot` (the
+operand-cotangent adjoint with the accumulator plane VMEM-resident).
+All are batch-partitionable under a mesh via custom_partitioning
+(`_batch_partitioned`).
 
 Reference sampling semantics: code/models/geometry.py:353-365
 (grid_sample align_corners=True, padding_mode='border').
@@ -44,6 +47,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 _BLK = 256
 _INNER = 8
@@ -62,6 +67,76 @@ def supported(shape, dtype) -> bool:
     if W * C > _MAX_LANES or H * W * C * 4 > _MAX_PLANE_BYTES:
         return False
     return True
+
+
+def _batch_axis(mesh, arg_shapes):
+    """Mesh axis (or axis tuple) sharding dim 0 of the operands, or None.
+
+    Picks the first operand whose PartitionSpec has a non-None dim-0
+    entry; falls back to replication when the shard count does not
+    divide the batch (pallas_call needs equal concrete per-shard B)."""
+    for a in jax.tree.leaves(arg_shapes):
+        spec = getattr(a.sharding, "spec", None)
+        if spec is None or not len(spec) or spec[0] is None:
+            continue
+        axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+        n = 1
+        for ax in axes:
+            n *= mesh.shape[ax]
+        return spec[0] if a.shape[0] % n == 0 else None
+    return None
+
+
+def _batch_only(mesh, b, x):
+    return NamedSharding(mesh, PartitionSpec(b, *([None] * (len(x.shape) - 1))))
+
+
+def _batch_partitioned(impl, rule, replicated):
+    """Wrap a kernel entry in custom_partitioning, batch-sharded only.
+
+    A pallas_call is an opaque custom call the GSPMD/shardy partitioner
+    cannot split; this declares the batch (grid) dimension as the one
+    partitionable axis so the kernels stay enabled under a multi-device
+    mesh — each shard runs the kernel on its local batch slice, which is
+    exactly the data-parallel training layout.  Every other dimension is
+    marked need-replication: the partitioner inserts all-gathers if a
+    user shards them (the H-sharded spatial mode should therefore run
+    with DPFT_PALLAS_GATHER=0 — the XLA gather partitions natively).
+    """
+    cp = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _batch_axis(mesh, arg_shapes)
+        return jax.tree.map(lambda x: _batch_only(mesh, b, x), result_shape)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _batch_axis(mesh, arg_shapes)
+        arg_sh = jax.tree.map(lambda x: _batch_only(mesh, b, x), arg_shapes)
+        out_sh = jax.tree.map(lambda x: _batch_only(mesh, b, x), result_shape)
+        return mesh, impl, out_sh, arg_sh
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=replicated,
+    )
+    return cp
+
+
+def _reduce_w(Z, *, W, Wp, C, blk):
+    """Sum a [blk, W*C] lane-expanded block over w (lane stride C) by
+    log-halving on a pow2-padded width; returns [blk, C]."""
+    if Wp > W:
+        Z = jnp.concatenate(
+            [Z, jnp.zeros((blk, (Wp - W) * C), jnp.float32)], axis=1
+        )
+    m = Wp
+    while m > 1:
+        half = m // 2
+        Z = Z[:, : half * C] + Z[:, half * C : m * C]
+        m = half
+    return Z[:, 0:C]
 
 
 def _kernel(aux_ref, f_ref, o_ref, *, H, W, C, blk, Wp, inner):
@@ -90,33 +165,201 @@ def _kernel(aux_ref, f_ref, o_ref, *, H, W, C, blk, Wp, inner):
         )  # [blk, W*C], VMEM-resident
 
         U = jnp.where(wl == u0, 1.0 - du, 0.0) + jnp.where(wl == u0 + 1, du, 0.0)
-        Z = P * U
-        # sum over w (lane stride C) by log-halving on a pow2-padded width
-        if Wp > W:
-            Z = jnp.concatenate(
-                [Z, jnp.zeros((blk, (Wp - W) * C), jnp.float32)], axis=1
-            )
-        m = Wp
-        while m > 1:
-            half = m // 2
-            Z = Z[:, : half * C] + Z[:, half * C : m * C]
-            m = half
-        o_ref[0, :, j * blk : (j + 1) * blk] = Z[:, 0:C].T
+        Z = _reduce_w(P * U, W=W, Wp=Wp, C=C, blk=blk)
+        o_ref[0, :, j * blk : (j + 1) * blk] = Z.T
+
+
+def _grads_kernel(aux_ref, f_ref, o_ref, gx_ref, gy_ref, *, H, W, C, blk, Wp,
+                  inner):
+    """Training-forward variant: emit the blend AND the two within-cell
+    directional derivatives (ref gx/gy of geometry/warp.py::_bilinear_gather_bwd):
+
+        gx[n] = P[u0+1] - P[u0]          (P = V @ F, dv-blended rows)
+        gy[n] = (Vd @ F) blended at u    (Vd = onehot(v0+1) - onehot(v0))
+
+    P is shared between out and gx; Vd has exact ±1 entries, so its hi/lo
+    split needs only TWO bf16 passes (no Vl term) — 5 MXU passes total vs
+    the eval kernel's 3.
+    """
+    F = f_ref[0]
+    wl = jax.lax.broadcasted_iota(jnp.int32, (blk, W * C), 1) // C
+    ih = jax.lax.broadcasted_iota(jnp.int32, (blk, H), 1)
+    Fh = F.astype(jnp.bfloat16)
+    Fl = (F - Fh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+
+    for j in range(inner):
+        aux = aux_ref[0, 0, j]
+        v0 = aux[:, 0:1].astype(jnp.int32)
+        dv = aux[:, 1:2]
+        u0 = aux[:, 2:3].astype(jnp.int32)
+        du = aux[:, 3:4]
+
+        V = jnp.where(ih == v0, 1.0 - dv, 0.0) + jnp.where(ih == v0 + 1, dv, 0.0)
+        Vh = V.astype(jnp.bfloat16)
+        Vl = (V - Vh.astype(jnp.float32)).astype(jnp.bfloat16)
+        P = (
+            jax.lax.dot_general(Vh, Fh, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(Vh, Fl, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(Vl, Fh, dn, preferred_element_type=jnp.float32)
+        )
+        Vd = (
+            jnp.where(ih == v0 + 1, 1.0, 0.0) - jnp.where(ih == v0, 1.0, 0.0)
+        ).astype(jnp.bfloat16)
+        Pd = jax.lax.dot_general(
+            Vd, Fh, dn, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(Vd, Fl, dn, preferred_element_type=jnp.float32)
+
+        U = jnp.where(wl == u0, 1.0 - du, 0.0) + jnp.where(wl == u0 + 1, du, 0.0)
+        Ud = jnp.where(wl == u0 + 1, 1.0, 0.0) - jnp.where(wl == u0, 1.0, 0.0)
+        sl = slice(j * blk, (j + 1) * blk)
+        o_ref[0, :, sl] = _reduce_w(P * U, W=W, Wp=Wp, C=C, blk=blk).T
+        gx_ref[0, :, sl] = _reduce_w(P * Ud, W=W, Wp=Wp, C=C, blk=blk).T
+        gy_ref[0, :, sl] = _reduce_w(Pd * U, W=W, Wp=Wp, C=C, blk=blk).T
+
+
+def _splat_kernel(auxu_ref, auxv_ref, g_ref, o_ref, *, H, W, C, blk, inner):
+    """Adjoint of the bilinear gather with the accumulator plane resident
+    in VMEM.
+
+    The XLA two-hot splat (geometry/warp.py::_splat_twohot) round-trips
+    its [blk, side*C] intermediate P through HBM each block — the same
+    loss the forward kernel fixed.  Here everything stays in VMEM:
+
+        acc[h, x*C+c] += sum_n VT[h, n] * Q[n, x*C+c]
+        Q = U_exp * tile_W(g)
+
+    tile_W replicates the [blk, C] cotangent across the W lane groups via
+    a tiny 0/1-pattern MXU matmul (g @ T, T[c, x*C+c'] = [c==c']); exact
+    in two bf16 passes because T is 0/1.  The V contraction runs three
+    bf16 hi/lo passes ('high'-equivalent, same scheme as the XLA splat's
+    precision='high').  VT is built directly in [H, blk] layout from a
+    PRE-TRANSPOSED (v0, dv) aux operand so the MXU contraction is a
+    standard [H,blk]x[blk,W*C] matmul — contracting the sublane dim of
+    two sample-major operands forces per-block relayouts instead.
+    """
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    wl = jax.lax.broadcasted_iota(jnp.int32, (blk, W * C), 1) // C
+    bh = jax.lax.broadcasted_iota(jnp.int32, (H, blk), 0)
+    dn = (((1,), (0,)), ((), ()))
+
+    acc = jnp.zeros((H, W * C), jnp.float32)
+    for j in range(inner):
+        auxu = auxu_ref[0, 0, j]  # [blk, 2] = (u0, du) sample-major
+        auxv = auxv_ref[0, 0, j]  # [2, blk] = (v0, dv) pre-transposed
+        u0 = auxu[:, 0:1].astype(jnp.int32)
+        du = auxu[:, 1:2]
+        v0r = auxv[0:1, :].astype(jnp.int32)
+        dvr = auxv[1:2, :]
+        g = g_ref[0, 0, j]  # [blk, C]
+
+        # tile the cotangent across the W lane groups by concat (VPU
+        # copies): an MXU 0/1-pattern matmul measured slower — a K=C=10
+        # contraction wastes the 128-deep systolic array
+        gt = jnp.concatenate([g] * W, axis=1)  # [blk, W*C] f32
+
+        U = jnp.where(wl == u0, 1.0 - du, 0.0) + jnp.where(wl == u0 + 1, du, 0.0)
+        Q = gt * U
+        Qh = Q.astype(jnp.bfloat16)
+        Ql = (Q - Qh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        VT = jnp.where(bh == v0r, 1.0 - dvr, 0.0) + jnp.where(
+            bh == v0r + 1, dvr, 0.0
+        )  # [H, blk]
+        VTh = VT.astype(jnp.bfloat16)
+        VTl = (VT - VTh.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = (
+            acc
+            + jax.lax.dot_general(VTh, Qh, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(VTh, Ql, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(VTl, Qh, dn, preferred_element_type=jnp.float32)
+        )
+    o_ref[0] += acc
+
+
+def _splat_impl(g_nc, v0, dv, u0, du, *, H, W, C, interpret, blk, inner):
+    B, N = v0.shape
+    step = blk * inner
+    K = -(-N // step)
+    N_pad = K * step
+
+    def pad(x):
+        # zero-cotangent padding samples contribute nothing to the splat
+        return jnp.pad(x, ((0, 0), (0, N_pad - N)) + ((0, 0),) * (x.ndim - 2))
+
+    auxu = pad(jnp.stack([u0.astype(jnp.float32), du], axis=-1))
+    auxu = auxu.reshape(B, K, inner, blk, 2)
+    auxv = pad(jnp.stack([v0.astype(jnp.float32), dv], axis=-1))
+    auxv = jnp.swapaxes(auxv.reshape(B, K, inner, blk, 2), 3, 4)
+    g_nc = pad(g_nc).reshape(B, K, inner, blk, C)
+
+    out = pl.pallas_call(
+        functools.partial(_splat_kernel, H=H, W=W, C=C, blk=blk, inner=inner),
+        out_shape=jax.ShapeDtypeStruct((B, H, W * C), jnp.float32),
+        grid=(B, K),
+        in_specs=[
+            pl.BlockSpec((1, 1, inner, blk, 2), lambda b, k: (b, k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, inner, 2, blk), lambda b, k: (b, k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, inner, blk, C), lambda b, k: (b, k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # constant in k -> the accumulator plane stays VMEM-resident across
+        # sample blocks and is written back once per batch image
+        out_specs=pl.BlockSpec((1, H, W * C), lambda b, k: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(auxu, auxv, g_nc)
+    return out.reshape(B, H, W, C)
+
+
+@functools.lru_cache(maxsize=None)
+def _splat_partitioned(H, W, C, interpret, blk, inner):
+    def impl(g_nc, v0, dv, u0, du):
+        # a plain closure, not functools.partial: custom_partitioning
+        # resolves args via inspect.signature and rejects bound keywords
+        return _splat_impl(g_nc, v0, dv, u0, du, H=H, W=W, C=C,
+                           interpret=interpret, blk=blk, inner=inner)
+
+    return _batch_partitioned(
+        impl, "b n c, b n, b n, b n, b n -> b h w c", ("n", "c", "h", "w")
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "C", "interpret")
+    jax.jit, static_argnames=("H", "W", "C", "interpret", "blk", "inner")
 )
-def gather_twohot(F_flat, v0, dv, u0, du, *, H, W, C, interpret=False):
-    """Bilinear sample via two-hot MXU contractions.
+def splat_twohot(g_nc, v0, dv, u0, du, *, H, W, C, interpret=False,
+                 blk=512, inner=4):
+    """Operand cotangent of the bilinear gather (Pallas, VMEM-resident).
 
-    :param F_flat: [B, H, W*C] f32 channels-last feature plane
+    blk=512/inner=4 (vs the gather kernels' 256/8): a larger MXU K-dim
+    halves the [H, W*C] accumulator read-modify-write traffic per sample.
+    Batch-partitionable under a mesh via custom_partitioning
+    (see _batch_partitioned).
+
+    :param g_nc: [B, N, C] f32 output cotangent (sample-major)
     :param v0, u0: [B, N] int corner starts, pre-clamped to [0, size-2]
     :param dv, du: [B, N] f32 fractional weights in [0, 1]
-    :return: [B, C, N] f32, bit-compatible layout with the XLA gather path
+    :return: [B, H, W, C] f32 operand cotangent
     """
+    return _splat_partitioned(H, W, C, interpret, blk, inner)(
+        g_nc, v0, dv, u0, du
+    )
+
+
+def _call(kernel, n_out, F_flat, v0, dv, u0, du, *, H, W, C, interpret,
+          inner=_INNER):
+    """Shared host wrapper: pack (v0, dv, u0, du) into the blocked aux
+    operand, launch over a (B, sample-block) grid, strip the padding."""
     B, N = v0.shape
-    blk, inner = _BLK, _INNER
+    blk = _BLK
     step = blk * inner
     K = -(-N // step)
     N_pad = K * step
@@ -128,9 +371,12 @@ def gather_twohot(F_flat, v0, dv, u0, du, *, H, W, C, interpret=False):
     aux = jnp.pad(aux, ((0, 0), (0, N_pad - N), (0, 0)))
     aux = aux.reshape(B, K, inner, blk, 4)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W, C=C, blk=blk, Wp=Wp, inner=inner),
-        out_shape=jax.ShapeDtypeStruct((B, C, N_pad), jnp.float32),
+    out_shape = jax.ShapeDtypeStruct((B, C, N_pad), jnp.float32)
+    out_spec = pl.BlockSpec((1, C, blk * inner), lambda b, k: (b, 0, k),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(kernel, H=H, W=W, C=C, blk=blk, Wp=Wp, inner=inner),
+        out_shape=[out_shape] * n_out,
         grid=(B, K),
         in_specs=[
             pl.BlockSpec((1, 1, inner, blk, 4), lambda b, k: (b, k, 0, 0, 0),
@@ -139,8 +385,60 @@ def gather_twohot(F_flat, v0, dv, u0, du, *, H, W, C, interpret=False):
             pl.BlockSpec((1, H, W * C), lambda b, k: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C, blk * inner), lambda b, k: (b, 0, k),
-                               memory_space=pltpu.VMEM),
+        out_specs=[out_spec] * n_out,
         interpret=interpret,
     )(aux, F_flat)
-    return out[:, :, :N]
+    return tuple(o[:, :, :N] for o in outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_partitioned(H, W, C, interpret, grads):
+    kernel, n_out, inner = (
+        (_grads_kernel, 3, 4) if grads else (_kernel, 1, _INNER)
+    )
+
+    def impl(F_flat, v0, dv, u0, du):
+        outs = _call(kernel, n_out, F_flat, v0, dv, u0, du,
+                     H=H, W=W, C=C, interpret=interpret, inner=inner)
+        return outs if grads else outs[0]
+
+    rule = "b h wc, b n, b n, b n, b n -> " + ", ".join(["b c n"] * n_out)
+    return _batch_partitioned(impl, rule, ("h", "wc", "n", "c"))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "C", "interpret")
+)
+def gather_twohot(F_flat, v0, dv, u0, du, *, H, W, C, interpret=False):
+    """Bilinear sample via two-hot MXU contractions.
+
+    Batch-partitionable under a mesh via custom_partitioning
+    (see _batch_partitioned).
+
+    :param F_flat: [B, H, W*C] f32 channels-last feature plane
+    :param v0, u0: [B, N] int corner starts, pre-clamped to [0, size-2]
+    :param dv, du: [B, N] f32 fractional weights in [0, 1]
+    :return: [B, C, N] f32, bit-compatible layout with the XLA gather path
+    """
+    return _gather_partitioned(H, W, C, interpret, False)(
+        F_flat, v0, dv, u0, du
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "C", "interpret")
+)
+def gather_twohot_grads(F_flat, v0, dv, u0, du, *, H, W, C, interpret=False):
+    """Training forward: bilinear sample + within-cell derivative maps.
+
+    Same contract as :func:`gather_twohot`, returning ``(out, gx, gy)``
+    each [B, C, N]: gx/gy match the corner blends of
+    geometry/warp.py::_bilinear_gather_bwd, so the VJP's coordinate
+    cotangents are ``sum_c g * gx`` with no corner residuals.
+
+    inner=4: the 5-matmul body's VMEM stack exceeds the 16 MB scoped
+    limit by 128 KB at inner=8.
+    """
+    return _gather_partitioned(H, W, C, interpret, True)(
+        F_flat, v0, dv, u0, du
+    )
