@@ -22,6 +22,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -29,3 +31,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_llvm_code_mappings():
+    """Free compiled executables between test modules.
+
+    Every XLA:CPU JIT program holds mmap'ed code sections; a full suite
+    accumulates more mappings than ``vm.max_map_count`` (default 65530)
+    and LLVM aborts the process with "Cannot allocate memory" /
+    "Unable to allocate section memory" (observed 2026-08-18 at ~200
+    tests, 117 GB RAM free).  Dropping the jit caches per module bounds
+    the live mapping count at the cost of some cross-module recompiles.
+    """
+    yield
+    gc.collect()
+    jax.clear_caches()
