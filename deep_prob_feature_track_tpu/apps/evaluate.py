@@ -23,6 +23,9 @@ def build_argparser():
                    choices=("TUM_RGBD", "MovingObjects3D", "ScanNet", "VaryLighting"))
     p.add_argument("--data_root", default=None)
     p.add_argument("--preset", default="feature")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any TrackerConfig field on top of --preset "
+                        "(replaces the reference's per-knob flags)")
     p.add_argument("--checkpoint", default="")
     p.add_argument("--keyframes", default="1,2,4,8")
     p.add_argument("--trajectory", default="")
@@ -145,8 +148,10 @@ def main(argv=None):
             return jnp.asarray(R), jnp.asarray(t)
 
     else:
+        from ..models.presets import apply_overrides
+
         preset = args.preset
-        net = LeastSquareTracking(cfg=get_preset(preset))
+        net = LeastSquareTracking(cfg=apply_overrides(get_preset(preset), args.set))
 
         # init / load weights
         first_loader = next(iter(loaders.values()))

@@ -35,6 +35,16 @@ def build_argparser():
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--loss", default="EPE3D", choices=("EPE3D", "RPE", "UEPE3D", "URPE"))
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any TrackerConfig field on top of --preset "
+                        "(e.g. --set feature_channel=4 --set combine_icp=1); "
+                        "replaces the reference's per-knob flags")
+    p.add_argument("--opt", default="adam", choices=("adam", "sgd"))
+    p.add_argument("--lr_decay_ratio", type=float, default=0.5)
+    p.add_argument("--lr_decay_epochs", default="5,10,20",
+                   help="comma-separated epoch boundaries for MultiStepLR")
+    p.add_argument("--weight_decay", type=float, default=4e-4)
+    p.add_argument("--grad_clip", type=float, default=5.0)
     p.add_argument("--checkpoint", default="", help="resume checkpoint")
     p.add_argument("--checkpoint_folder", default="logs")
     p.add_argument("--save_checkpoint_freq", type=int, default=1)
@@ -79,7 +89,9 @@ def main(argv=None):
     )
     from ..utils.logger import MetricsLogger, config_fingerprint, git_revision
 
-    cfg = get_preset(args.preset)
+    from ..models.presets import apply_overrides
+
+    cfg = apply_overrides(get_preset(args.preset), args.set)
     if args.loss in ("UEPE3D", "URPE"):
         cfg = dataclasses.replace(cfg, uncer_prop=True)
     keyframes = [int(k) for k in args.keyframes.split(",")]
@@ -111,7 +123,13 @@ def main(argv=None):
 
     net = LeastSquareTracking(cfg=cfg)
     tcfg = TrainConfig(
-        loss=args.loss, lr=args.lr, epochs=args.epochs, batch_size=args.batch_size
+        loss=args.loss, lr=args.lr, epochs=args.epochs,
+        batch_size=args.batch_size, opt=args.opt,
+        lr_decay_ratio=args.lr_decay_ratio,
+        lr_decay_epochs=tuple(
+            int(e) for e in args.lr_decay_epochs.split(",") if e
+        ),
+        weight_decay=args.weight_decay, grad_clip=args.grad_clip,
     )
     optimizer = make_optimizer(tcfg, steps_per_epoch)
     example = next(iter(BatchLoader(train_set, local_bs, prefetch=0)))

@@ -107,3 +107,58 @@ def get_preset(name: str) -> TrackerConfig:
     if name not in PRESETS:
         raise KeyError(f"unknown preset {name!r}; choose from {sorted(PRESETS)}")
     return PRESETS[name]
+
+
+def _coerce(raw: str, current):
+    """Parse a CLI string by the type of the field's current value."""
+    if raw.lower() in ("none", "null"):
+        return None
+    if isinstance(current, bool):
+        if raw.lower() in ("1", "true", "yes", "on"):
+            return True
+        if raw.lower() in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"not a boolean: {raw!r}")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, tuple):
+        elem = type(current[0]) if current else int
+        return tuple(elem(x) for x in raw.split(",") if x != "")
+    if current is None:
+        # Optional field with a None default (e.g. scale_scaler): numbers
+        # first, string as the fallback
+        for cast in (int, float):
+            try:
+                return cast(raw)
+            except ValueError:
+                pass
+    return raw
+
+
+def apply_overrides(cfg, pairs):
+    """Apply ``key=value`` CLI overrides onto a frozen config dataclass.
+
+    The reference exposes every architecture knob as its own argparse flag
+    (code/config.py:7-103: --encoder_name, --mestimator, --solver,
+    --direction, --feature_channel, --multi_hypo, ...); here the typed
+    dataclass is the source of truth and any field is reachable as
+    ``--set key=value`` (repeatable).  Values are coerced by the field's
+    default type; tuples parse comma-separated; "none" clears Optionals.
+    """
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(cfg)}
+    updates = {}
+    for pair in pairs or ():
+        key, sep, raw = pair.partition("=")
+        if not sep or key not in names:
+            raise SystemExit(
+                f"--set {pair!r}: unknown field {key!r}; valid: {sorted(names)}"
+            )
+        try:
+            updates[key] = _coerce(raw, getattr(cfg, key))
+        except ValueError as e:
+            raise SystemExit(f"--set {pair!r}: {e}")
+    return dataclasses.replace(cfg, **updates)

@@ -109,3 +109,40 @@ def test_dense_net_pose_initializer(rng):
     v = net.init(jax.random.PRNGKey(0), *args, train=False)
     R, t = net.apply(v, *args, train=False)
     assert np.all(np.isfinite(np.asarray(t)))
+
+
+def test_apply_overrides_coercion():
+    """--set key=value overrides coerce by field type and reject unknowns
+    (the reference's per-knob argparse surface, code/config.py:7-103)."""
+    from deep_prob_feature_track_tpu.models.presets import apply_overrides
+    from deep_prob_feature_track_tpu.training.train import TrainConfig
+
+    cfg = get_preset("feature")
+    out = apply_overrides(
+        cfg,
+        [
+            "feature_channel=4",
+            "combine_icp=true",
+            "scale_icp=0.5",
+            "encoder_name=ConvRGBD",
+            "scale_scaler=none",
+        ],
+    )
+    assert out.feature_channel == 4 and isinstance(out.feature_channel, int)
+    assert out.combine_icp is True
+    assert out.scale_icp == 0.5
+    assert out.encoder_name == "ConvRGBD"
+    assert out.scale_scaler is None
+    # untouched fields keep the preset values
+    assert out.uncertainty_type == cfg.uncertainty_type
+
+    tcfg = apply_overrides(TrainConfig(), ["lr_decay_epochs=3,7", "opt=sgd"])
+    assert tcfg.lr_decay_epochs == (3, 7)
+    assert tcfg.opt == "sgd"
+
+    with pytest.raises(SystemExit):
+        apply_overrides(cfg, ["not_a_field=1"])
+    with pytest.raises(SystemExit):
+        apply_overrides(cfg, ["combine_icp=maybe"])
+    with pytest.raises(SystemExit):
+        apply_overrides(cfg, ["no_equals_sign"])

@@ -97,6 +97,10 @@ def test_train_cli_smoke(tum_fixture, tmp_path):
                 "--batch_size", "2",
                 "--epochs", "1",
                 "--no_val",
+                # exercise the config-override path (ref exposes these as
+                # per-knob flags; here any field is --set key=value)
+                "--set", "max_iter_per_pyr=1",
+                "--lr_decay_epochs", "1,2",
                 "--checkpoint_folder", str(tmp_path / "logs"),
             ]
         )
