@@ -13,6 +13,7 @@ through every GN solve, and the 6x6 solves run on-device via Cholesky
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -38,6 +39,36 @@ from .residuals import (
 )
 
 Pose = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def run_gn_iterations(body, carry, max_iter: int, unroll: bool):
+    """Shared GN iteration driver for every track's solver loop.
+
+    - ``unroll=True`` (training default): Python-unroll — backprop through
+      ``fori_loop`` stacks per-iteration residuals in channel-minormost
+      layouts XLA tile-pads ~16x on TPU (docs/PERF.md round 1).
+    - ``unroll=False`` (eval): ``fori_loop`` for ~2x faster compiles.
+    - ``DPFT_TRAIN_LOOP=scan_remat`` upgrades the unrolled path to
+      ``lax.scan`` over a ``jax.checkpoint``'ed body: the backward
+      *recomputes* each iteration's residual pipeline instead of saving
+      it, so nothing big is stacked, and both activation memory and HLO
+      size shrink by ~max_iter — the enabler for 480x640 training, where
+      the unrolled backward's HLO crashes the remote-compile helper
+      (docs/PERF.md round 2), at ~1 extra forward of recompute per
+      iteration.  Gradient-parity tested vs the unrolled path
+      (tests/test_training.py).
+    """
+    if not unroll:
+        return jax.lax.fori_loop(0, max_iter, body, carry)
+    if os.environ.get("DPFT_TRAIN_LOOP") == "scan_remat":
+        def step(c, i):
+            return jax.checkpoint(body)(i, c), None
+
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(max_iter))
+        return carry
+    for i in range(max_iter):
+        carry = body(i, carry)
+    return carry
 
 
 def inverse_update_pose(H: jnp.ndarray, rhs: jnp.ndarray, pose: Pose) -> Pose:
@@ -228,13 +259,7 @@ def tr_uic_level(
 
     jtj_dtype = jnp.result_type(x0, sigma0, invD0, K)
     init = (pose[0], pose[1], jnp.zeros((B, 6, 6), jtj_dtype))
-    if unroll:
-        carry = init
-        for i in range(max_iter):
-            carry = gn_iteration(i, carry)
-        R, t, JtWJ = carry
-    else:
-        R, t, JtWJ = jax.lax.fori_loop(0, max_iter, gn_iteration, init)
+    R, t, JtWJ = run_gn_iterations(gn_iteration, init, max_iter, unroll)
     pose = (R, t)
 
     # matching the reference exactly (algorithms.py:713-717): the chained
@@ -360,12 +385,9 @@ def tr_ic_level(
         return (R_new, t_new, new_res)
 
     carry = (pose[0], pose[1], residuals)
-    if unroll or solver.kind == "resvol":
-        for i in range(max_iter):
-            carry = gn_iteration(i, carry)
-        R, t, residuals = carry
-    else:
-        R, t, residuals = jax.lax.fori_loop(0, max_iter, gn_iteration, carry)
+    R, t, residuals = run_gn_iterations(
+        gn_iteration, carry, max_iter, unroll or solver.kind == "resvol"
+    )
     return (R, t), weights, JtWJ
 
 
@@ -514,12 +536,9 @@ def tr_ufc_level(
     w0 = mest_fn(jnp.zeros_like(x0), x0, x1, w_prior)
     jtj0 = jnp.zeros((B, 6, 6), dtype=jnp.result_type(x0, sigma0, K))
     carry = (pose[0], pose[1], w0, jtj0)
-    if unroll or solver.kind == "resvol":
-        for i in range(max_iter):
-            carry = gn_iteration(i, carry)
-        R, t, weights, JtWJ = carry
-    else:
-        R, t, weights, JtWJ = jax.lax.fori_loop(0, max_iter, gn_iteration, carry)
+    R, t, weights, JtWJ = run_gn_iterations(
+        gn_iteration, carry, max_iter, unroll or solver.kind == "resvol"
+    )
     return (R, t), weights, JtWJ
 
 
@@ -585,11 +604,7 @@ def tr_icp_level(
 
     jtj0 = jnp.zeros((B, 6, 6), dtype=jnp.result_type(depth0, K))
     carry = (pose[0], pose[1], jtj0)
-    if unroll:
-        for i in range(max_iter):
-            carry = gn_iteration(i, carry)
-    else:
-        carry = jax.lax.fori_loop(0, max_iter, gn_iteration, carry)
+    carry = run_gn_iterations(gn_iteration, carry, max_iter, unroll)
     pose = (carry[0], carry[1])
     weights = jnp.ones_like(depth0)
     return pose, weights, carry[2]
@@ -628,11 +643,7 @@ def tr_icp_point_level(
 
     jtj0 = jnp.zeros((B, 6, 6), dtype=jnp.result_type(depth0, K))
     carry = (pose[0], pose[1], jtj0)
-    if unroll:
-        for i in range(max_iter):
-            carry = gn_iteration(i, carry)
-    else:
-        carry = jax.lax.fori_loop(0, max_iter, gn_iteration, carry)
+    carry = run_gn_iterations(gn_iteration, carry, max_iter, unroll)
     return (carry[0], carry[1]), carry[2]
 
 
