@@ -43,7 +43,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
+def batch_shardings(
+    mesh: Mesh, batch: dict, axis: str = "data",
+    spatial_axis: Optional[str] = None,
+) -> dict:
+    """Per-leaf NamedShardings for a batch dict.
+
+    Every array leaf shards its leading (batch) dimension over ``axis``;
+    with ``spatial_axis`` set, 4-D NCHW image leaves additionally shard H
+    over it — the 2-D data x spatial layout (SURVEY §5's "long-context"
+    analogue composed with DP).  XLA inserts the conv halo exchanges and
+    gather collectives from the shardings alone.
+    """
+    out = {}
+    for k, v in batch.items():
+        if not (isinstance(v, np.ndarray) and v.ndim >= 1):
+            out[k] = None
+        elif spatial_axis is not None and v.ndim == 4:
+            out[k] = NamedSharding(mesh, P(axis, None, spatial_axis, None))
+        else:
+            out[k] = NamedSharding(mesh, P(axis))
+    return out
+
+
+def shard_batch(
+    mesh: Mesh, batch: dict, axis: str = "data",
+    spatial_axis: Optional[str] = None,
+) -> dict:
     """Device-put array leaves of a batch dict with the batch sharding.
 
     Single-process: a plain ``device_put`` of the global batch.
@@ -53,15 +79,15 @@ def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
     ``jax.make_array_from_process_local_data`` — the local array fills this
     process's addressable devices, no cross-host data movement.
     """
-    sharding = batch_sharding(mesh, axis)
+    shardings = batch_shardings(mesh, batch, axis, spatial_axis)
     multiproc = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.ndim >= 1:
-            if multiproc:
-                out[k] = jax.make_array_from_process_local_data(sharding, v)
-            else:
-                out[k] = jax.device_put(v, sharding)
-        else:
+        sharding = shardings[k]
+        if sharding is None:
             out[k] = v
+        elif multiproc:
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        else:
+            out[k] = jax.device_put(v, sharding)
     return out

@@ -153,8 +153,13 @@ def make_train_step(
     mesh=None,
     guard_nonfinite: bool = False,
     donate: Optional[bool] = None,
+    batch_shardings=None,
 ) -> Callable:
     """Build the jitted (and mesh-sharded, if given) train step.
+
+    :param batch_shardings: optional pytree of per-leaf NamedShardings for
+        the batch (parallel.mesh.batch_shardings) — e.g. the 2-D
+        data x spatial layout; default shards the leading dim over 'data'.
 
     :param guard_nonfinite: skip the parameter/optimizer update whenever the
         loss or gradients are non-finite (the batch is consumed but the
@@ -199,7 +204,7 @@ def make_train_step(
             return jax.jit(step_fn, donate_argnums=(0,))
         return jax.jit(step_fn)
     repl = replicated(mesh)
-    data = batch_sharding(mesh)
+    data = batch_sharding(mesh) if batch_shardings is None else batch_shardings
     donate_args = () if donate is False else (0,)
     return jax.jit(
         step_fn,

@@ -139,3 +139,45 @@ def test_spatial_sharding_solver_matches(rng):
     R_sh, t_sh = jax.jit(solve)(*args)
     np.testing.assert_allclose(np.asarray(R_ref), np.asarray(R_sh), atol=1e-5)
     np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_sh), atol=1e-5)
+
+
+def test_2d_mesh_train_step_matches(rng):
+    """2-D data x spatial sharded train step (batch over 'data', image H
+    over 'spatial') must match the unsharded update — the composed-layout
+    analogue of the DP test above."""
+    from deep_prob_feature_track_tpu.models.presets import get_preset
+    from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
+    from deep_prob_feature_track_tpu.parallel.mesh import batch_shardings
+    from deep_prob_feature_track_tpu.training.train import (
+        TrainConfig,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from tests.test_training import synthetic_batch
+
+    net = LeastSquareTracking(cfg=get_preset("RGB"))
+    tcfg = TrainConfig()
+    opt = make_optimizer(tcfg, steps_per_epoch=10)
+    batch = synthetic_batch(rng, B=4, H=16, W=20)
+    state0 = create_train_state(net, opt, batch)
+
+    step_single = make_train_step(net, tcfg, opt)
+    _, m_single = step_single(state0, batch)
+
+    mesh = make_mesh(axis_names=("data", "spatial"), shape=(4, 2))
+    shardings = batch_shardings(mesh, batch, spatial_axis="spatial")
+    assert shardings["color0"].spec == jax.sharding.PartitionSpec(
+        "data", None, "spatial", None
+    )
+    step_2d = make_train_step(net, tcfg, opt, mesh=mesh, batch_shardings=shardings)
+    state1 = create_train_state(net, opt, batch)
+    sharded = shard_batch(mesh, batch, spatial_axis="spatial")
+    _, m_2d = step_2d(state1, sharded)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_2d["loss"]), rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        float(m_single["grad_norm"]), float(m_2d["grad_norm"]), rtol=2e-2
+    )
