@@ -135,8 +135,35 @@ def sweep():
         )
 
 
+def ab():
+    """A/B the Pallas train kernels vs the XLA paths: one line per arm.
+
+    The dispatch gate reads DPFT_PALLAS_GATHER at trace time, and each
+    measure_train call builds (and traces) a fresh train step, so setting
+    the env var between arms is sufficient.
+    """
+    _setup_cache()
+    for flag in ("0", "auto"):
+        os.environ["DPFT_PALLAS_GATHER"] = flag
+        fps = measure_train(64, 120, 160)
+        print(
+            json.dumps(
+                {
+                    "metric": "train_step_fps_feature_preset_120x160_b64",
+                    "value": round(fps, 2),
+                    "unit": "frames/s",
+                    "vs_baseline": round(fps / BASELINE_TRAIN_FPS, 2),
+                    "pallas_gather": flag,
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     if "--sweep" in sys.argv:
         sweep()
+    elif "--ab" in sys.argv:
+        ab()
     else:
         main()
