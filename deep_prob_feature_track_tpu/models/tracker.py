@@ -13,6 +13,7 @@ eval returns the final pose (ref LeastSquareTracking.py:314-577).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -90,7 +91,14 @@ class LeastSquareTracking(nn.Module):
         n_instances = 4 if cfg.no_weight_sharing else 1
 
         if cfg.encoder_name in ("ConvRGBD", "ConvRGBD2"):
-            self.encoder = FeaturePyramid(
+            enc_cls = FeaturePyramid
+            if os.environ.get("DPFT_REMAT_ENCODER") == "1":
+                # full-recompute checkpoint of the encoder: pairs with
+                # DPFT_TRAIN_LOOP=scan_remat to fit 480x640 training
+                # (docs/PERF.md "rematerialized training loop"); train is
+                # the static arg (position 2 of __call__)
+                enc_cls = nn.remat(FeaturePyramid, static_argnums=(2,))
+            self.encoder = enc_cls(
                 feature_channel=cfg.feature_channel,
                 uncertainty_channel=cfg.uncertainty_channel,
                 feature_extract=cfg.feature_extract,
@@ -166,7 +174,8 @@ class LeastSquareTracking(nn.Module):
             m = jnp.concatenate([I0, invD0], axis=1)
         else:  # ConvRGBD2
             m = jnp.concatenate([I0, invD0, I1, invD1], axis=1)
-        return self.encoder(m, train=train)
+        # positional train: nn.remat's static_argnums needs it positional
+        return self.encoder(m, train)
 
     def _preprocess(
         self, img0, img1, depth0, depth1, pose_init, obj_mask0, obj_mask1, train: bool
@@ -199,7 +208,7 @@ class LeastSquareTracking(nn.Module):
                 ],
                 axis=0,
             )
-            f_all, s_all, raw_all = self.encoder(m, train=train)
+            f_all, s_all, raw_all = self.encoder(m, train)
             x0 = [f[:B] for f in f_all]
             x1 = [f[B:] for f in f_all]
             sigma0 = [None if s is None else s[:B] for s in s_all]

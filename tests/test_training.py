@@ -204,17 +204,22 @@ def test_scan_remat_loop_gradient_parity(rng, monkeypatch):
         return float(l), jax.tree_util.tree_map(np.asarray, g)
 
     monkeypatch.delenv("DPFT_TRAIN_LOOP", raising=False)
+    monkeypatch.delenv("DPFT_REMAT_ENCODER", raising=False)
     l0, g0 = loss_and_grads()
     monkeypatch.setenv("DPFT_TRAIN_LOOP", "scan_remat")
     l1, g1 = loss_and_grads()
+    # the full VGA memory configuration: remat'ed encoder on top
+    monkeypatch.setenv("DPFT_REMAT_ENCODER", "1")
+    l2, g2 = loss_and_grads()
 
-    assert abs(l0 - l1) < 1e-6 * max(abs(l0), 1e-3), (l0, l1)
     leaves0 = jax.tree_util.tree_leaves(g0)
-    leaves1 = jax.tree_util.tree_leaves(g1)
-    assert len(leaves0) == len(leaves1)
-    for a, b in zip(leaves0, leaves1):
-        # scan+remat reorders accumulations vs the Python unroll; f32
-        # noise through 12 chained GN solves measures ~2e-3 relative
-        np.testing.assert_allclose(
-            a, b, rtol=0, atol=5e-3 * max(np.abs(b).max(), 1e-6)
-        )
+    for l1_, g1_ in ((l1, g1), (l2, g2)):
+        assert abs(l0 - l1_) < 1e-4 * max(abs(l0), 1e-3), (l0, l1_)
+        leaves1 = jax.tree_util.tree_leaves(g1_)
+        assert len(leaves0) == len(leaves1)
+        for a, b in zip(leaves1, leaves0):
+            # scan+remat reorders accumulations vs the Python unroll; f32
+            # noise through 12 chained GN solves measures ~2e-3 relative
+            np.testing.assert_allclose(
+                a, b, rtol=0, atol=5e-3 * max(np.abs(b).max(), 1e-6)
+            )
