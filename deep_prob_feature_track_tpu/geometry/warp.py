@@ -16,6 +16,7 @@ coordinates.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -212,22 +213,7 @@ def _twohot_enabled(shape, dtype, kind="eval") -> bool:
         return False
 
 
-@jax.custom_vjp
-def _bilinear_gather_fast(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    """Core bilinear gather on a channels-last operand [B,H,W,C] -> [B,C,N].
-
-    The primal (eval) path dispatches to the Pallas two-hot MXU kernel on
-    TPU (2.2x the XLA gather; see ops/pallas/gather.py).  Under autodiff
-    the fwd rule below keeps the XLA corner gather: the backward reuses
-    the materialized corners as VJP residuals.
-
-    Custom VJP: XLA's automatic gather transpose materializes the corner
-    cotangents in the [B,N,2,2,C] layout (the exact tiling blow-up the
-    forward avoids), OOMing training; the hand-written backward reuses the
-    forward's corners (saved as residuals) for the coordinate gradients
-    and splats the operand cotangent with two-hot MXU matmuls
-    (:func:`_splat_twohot`).
-    """
+def _gather_fast_primal(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     B, H, W, C = operand.shape
     starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
     if _twohot_enabled(operand.shape, operand.dtype, "eval"):
@@ -241,6 +227,28 @@ def _bilinear_gather_fast(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     return _blend(_gather_corners(operand, starts), du, dv)
 
 
+def _bilinear_gather_fast(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Core bilinear gather on a channels-last operand [B,H,W,C] -> [B,C,N].
+
+    The primal (eval) path dispatches to the Pallas two-hot MXU kernel on
+    TPU (2.2x the XLA gather; see ops/pallas/gather.py).  Under autodiff
+    the fwd rule keeps a fused corner formulation that also emits the
+    within-cell derivative maps as VJP residuals.
+
+    Custom VJP: XLA's automatic gather transpose materializes the corner
+    cotangents in the [B,N,2,2,C] layout (the exact tiling blow-up the
+    forward avoids), OOMing training; the hand-written backward contracts
+    the saved derivative maps for the coordinate gradients and splats the
+    operand cotangent with two-hot MXU matmuls (:func:`_splat_twohot`).
+    One custom_vjp instance is cached per operand (shape, dtype) so the
+    backward closes over the STATIC shape — saving the operand array as a
+    residual would keep the whole feature plane alive until its backward
+    (one [B,H,W,C] plane per warp call of avoidable live memory at VGA)
+    even though only its shape is read.
+    """
+    return _gather_fast_vjp(operand.shape, operand.dtype.name)(operand, u, v)
+
+
 def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     B, H, W, C = operand.shape
     if H < 2 or W < 2:
@@ -248,33 +256,75 @@ def _bilinear_gather_cl(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     return _bilinear_gather_fast(operand, u, v)
 
 
-def _bilinear_gather_fwd(operand, u, v):
-    # compute the within-cell derivative maps gx/gy here and save THEM as
-    # VJP residuals (not the corners): the forward's corner values are
-    # already materialized on the way to the blend — re-gathering in the
-    # backward measured 29.8 ms at the level-0 train shape (docs/PERF.md
-    # round 2) — and folding the corner differences into [B,C,N] maps
-    # halves the residual bytes vs saving [B,2,2,C,N] corners
-    B, H, W, C = operand.shape
-    starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
-    if _twohot_enabled(operand.shape, operand.dtype, "train"):
-        from ..ops.pallas.gather import gather_twohot_grads
+@functools.lru_cache(maxsize=None)
+def _gather_fast_vjp(shape, dtype_name):
+    """One custom_vjp instance per operand (shape, dtype): the backward
+    needs only the STATIC shape, so it is closed over instead of saved
+    (see _bilinear_gather_fast)."""
+    B, H, W, C = shape
 
-        out, gx, gy = gather_twohot_grads(
-            operand.reshape(B, H, W * C),
-            starts[..., 0], dv[:, 0, :], starts[..., 1], du[:, 0, :],
-            H=H, W=W, C=C, interpret=_pallas_interpret(),
-        )
-    else:
-        corners = _gather_corners(operand, starts)
-        out = _blend(corners, du, dv)
-        gx = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dv) + (
-            corners[:, 1, 1] - corners[:, 1, 0]
-        ) * dv  # [B,C,N]
-        gy = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - du) + (
-            corners[:, 1, 1] - corners[:, 0, 1]
-        ) * du
-    return out, (operand, gx, gy, u, v)
+    @jax.custom_vjp
+    def gather(operand, u, v):
+        return _gather_fast_primal(operand, u, v)
+
+    def fwd(operand, u, v):
+        # compute the within-cell derivative maps gx/gy here and save THEM
+        # as VJP residuals (not the corners): the forward's corner values
+        # are already materialized on the way to the blend — re-gathering
+        # in the backward measured 29.8 ms at the level-0 train shape
+        # (docs/PERF.md round 2) — and folding the corner differences into
+        # [B,C,N] maps halves the residual bytes vs [B,2,2,C,N] corners
+        starts, du, dv, _, _ = _corner_weights(shape, u, v)
+        if _twohot_enabled(shape, operand.dtype, "train"):
+            from ..ops.pallas.gather import gather_twohot_grads
+
+            out, gx, gy = gather_twohot_grads(
+                operand.reshape(B, H, W * C),
+                starts[..., 0], dv[:, 0, :], starts[..., 1], du[:, 0, :],
+                H=H, W=W, C=C, interpret=_pallas_interpret(),
+            )
+        else:
+            corners = _gather_corners(operand, starts)
+            out = _blend(corners, du, dv)
+            gx = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dv) + (
+                corners[:, 1, 1] - corners[:, 1, 0]
+            ) * dv  # [B,C,N]
+            gy = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - du) + (
+                corners[:, 1, 1] - corners[:, 0, 1]
+            ) * du
+        return out, (gx, gy, u, v)
+
+    def bwd(res, g):
+        gx_map, gy_map, u, v = res
+        starts, du, dv, uf, vf = _corner_weights(shape, u, v)
+
+        # d out / d coordinates: contract the cotangent with the
+        # within-cell derivative maps saved by the forward
+        g_u = jnp.sum(g * gx_map, axis=1)  # [B,N]
+        g_v = jnp.sum(g * gy_map, axis=1)
+        # clip passes gradient on the closed interval (jnp.clip VJP)
+        u_in = u.reshape(B, -1)
+        v_in = v.reshape(B, -1)
+        g_u = jnp.where((u_in >= 0) & (u_in <= W - 1), g_u, 0.0)
+        g_v = jnp.where((v_in >= 0) & (v_in <= H - 1), g_v, 0.0)
+
+        # d out / d operand: two-hot matmul splat (XLA's scatter-add
+        # serializes on TPU, the MXU formulation is ~19x faster); Pallas
+        # keeps the accumulator plane in VMEM for another ~1.1x
+        if _twohot_enabled(shape, g.dtype, "splat"):
+            from ..ops.pallas.gather import splat_twohot
+
+            d_op = splat_twohot(
+                jnp.swapaxes(g, 1, 2),
+                starts[..., 0], dv[:, 0, :], starts[..., 1], du[:, 0, :],
+                H=H, W=W, C=C, interpret=_pallas_interpret(),
+            )
+        else:
+            d_op = _splat_twohot(shape, starts, du, dv, g)
+        return d_op, g_u.reshape(u.shape), g_v.reshape(v.shape)
+
+    gather.defvjp(fwd, bwd)
+    return gather
 
 
 _SPLAT_BLK = 1920  # samples per two-hot matmul block (tuned on v5e)
@@ -365,38 +415,6 @@ def _splat_twohot(shape, starts, du, dv, g):
     return acc.reshape(B, H, W, C)
 
 
-def _bilinear_gather_bwd(res, g):
-    operand, gx_map, gy_map, u, v = res
-    B, H, W, C = operand.shape
-    starts, du, dv, uf, vf = _corner_weights(operand.shape, u, v)
-
-    # d out / d coordinates: contract the cotangent with the within-cell
-    # derivative maps saved by the forward
-    g_u = jnp.sum(g * gx_map, axis=1)  # [B,N]
-    g_v = jnp.sum(g * gy_map, axis=1)
-    # clip passes gradient on the closed interval (jnp.clip VJP semantics)
-    u_in = u.reshape(B, -1)
-    v_in = v.reshape(B, -1)
-    g_u = jnp.where((u_in >= 0) & (u_in <= W - 1), g_u, 0.0)
-    g_v = jnp.where((v_in >= 0) & (v_in <= H - 1), g_v, 0.0)
-
-    # d out / d operand: two-hot matmul splat (XLA's scatter-add
-    # serializes on TPU, the MXU formulation is ~19x faster); Pallas
-    # keeps the accumulator plane in VMEM for another ~1.7x when enabled
-    if _twohot_enabled(operand.shape, g.dtype, "splat"):
-        from ..ops.pallas.gather import splat_twohot
-
-        d_op = splat_twohot(
-            jnp.swapaxes(g, 1, 2),
-            starts[..., 0], dv[:, 0, :], starts[..., 1], du[:, 0, :],
-            H=H, W=W, C=C, interpret=_pallas_interpret(),
-        )
-    else:
-        d_op = _splat_twohot(operand.shape, starts, du, dv, g)
-    return d_op, g_u.reshape(u.shape), g_v.reshape(v.shape)
-
-
-_bilinear_gather_fast.defvjp(_bilinear_gather_fwd, _bilinear_gather_bwd)
 
 
 def make_warp_operand(maps):

@@ -109,9 +109,15 @@ def get_preset(name: str) -> TrackerConfig:
     return PRESETS[name]
 
 
-def _coerce(raw: str, current):
-    """Parse a CLI string by the type of the field's current value."""
-    if raw.lower() in ("none", "null"):
+def _coerce(raw: str, current, optional=False):
+    """Parse a CLI string by the type of the field's current value.
+
+    'none'/'null' clears ONLY Optional fields: several string fields use
+    the literal string "None" as their sentinel (mest_type, scaler,
+    uncertainty_type — matching the reference's flag values), and those
+    must stay strings.
+    """
+    if optional and raw.lower() in ("none", "null"):
         return None
     if isinstance(current, bool):
         if raw.lower() in ("1", "true", "yes", "on"):
@@ -149,16 +155,19 @@ def apply_overrides(cfg, pairs):
     """
     import dataclasses
 
-    names = {f.name for f in dataclasses.fields(cfg)}
+    fields = {f.name: f for f in dataclasses.fields(cfg)}
     updates = {}
     for pair in pairs or ():
         key, sep, raw = pair.partition("=")
-        if not sep or key not in names:
+        if not sep or key not in fields:
             raise SystemExit(
-                f"--set {pair!r}: unknown field {key!r}; valid: {sorted(names)}"
+                f"--set {pair!r}: unknown field {key!r}; valid: {sorted(fields)}"
             )
+        current = getattr(cfg, key)
+        # annotations are strings under `from __future__ import annotations`
+        optional = current is None or "Optional" in str(fields[key].type)
         try:
-            updates[key] = _coerce(raw, getattr(cfg, key))
+            updates[key] = _coerce(raw, current, optional)
         except ValueError as e:
             raise SystemExit(f"--set {pair!r}: {e}")
     return dataclasses.replace(cfg, **updates)

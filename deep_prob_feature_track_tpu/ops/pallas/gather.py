@@ -54,7 +54,11 @@ _BLK = 256
 _INNER = 8
 # keep the resident feature plane + the [blk, W*C] intermediates in VMEM
 _MAX_PLANE_BYTES = 4 * 1024 * 1024
-_MAX_LANES = 4096
+# conservative: the 5-matmul grads body already brushed the 16 MB scoped
+# VMEM limit at W*C=1280/inner=8 and the splat runs blk=512, so cap the
+# lane-expanded width where all three kernels are measured-safe (level-0
+# train shape is W*C=1600); re-measure 2048-4096 on hardware before lifting
+_MAX_LANES = 2048
 
 
 def supported(shape, dtype) -> bool:

@@ -41,7 +41,8 @@ from .residuals import (
 Pose = Tuple[jnp.ndarray, jnp.ndarray]
 
 
-def run_gn_iterations(body, carry, max_iter: int, unroll: bool):
+def run_gn_iterations(body, carry, max_iter: int, unroll: bool,
+                      scan_ok: bool = False):
     """Shared GN iteration driver for every track's solver loop.
 
     - ``unroll=True`` (training default): Python-unroll — backprop through
@@ -57,10 +58,17 @@ def run_gn_iterations(body, carry, max_iter: int, unroll: bool):
       (docs/PERF.md round 2), at ~1 extra forward of recompute per
       iteration.  Gradient-parity tested vs the unrolled path
       (tests/test_training.py).
+
+    ``scan_ok`` must be set ONLY for bodies that are pure array functions.
+    The IC/U_FC tracks can close over *bound flax modules* (the
+    Direct-ResVol damping MLP, a learned M-estimator); applying one
+    inside ``lax.scan``/``jax.checkpoint`` from outside a lifted
+    transform raises UnexpectedTracerError, so those loops stay
+    Python-unrolled regardless of DPFT_TRAIN_LOOP.
     """
     if not unroll:
         return jax.lax.fori_loop(0, max_iter, body, carry)
-    if os.environ.get("DPFT_TRAIN_LOOP") == "scan_remat":
+    if scan_ok and os.environ.get("DPFT_TRAIN_LOOP") == "scan_remat":
         def step(c, i):
             return jax.checkpoint(body)(i, c), None
 
@@ -259,7 +267,9 @@ def tr_uic_level(
 
     jtj_dtype = jnp.result_type(x0, sigma0, invD0, K)
     init = (pose[0], pose[1], jnp.zeros((B, 6, 6), jtj_dtype))
-    R, t, JtWJ = run_gn_iterations(gn_iteration, init, max_iter, unroll)
+    R, t, JtWJ = run_gn_iterations(
+        gn_iteration, init, max_iter, unroll, scan_ok=True
+    )
     pose = (R, t)
 
     # matching the reference exactly (algorithms.py:713-717): the chained
@@ -604,7 +614,9 @@ def tr_icp_level(
 
     jtj0 = jnp.zeros((B, 6, 6), dtype=jnp.result_type(depth0, K))
     carry = (pose[0], pose[1], jtj0)
-    carry = run_gn_iterations(gn_iteration, carry, max_iter, unroll)
+    carry = run_gn_iterations(
+        gn_iteration, carry, max_iter, unroll, scan_ok=True
+    )
     pose = (carry[0], carry[1])
     weights = jnp.ones_like(depth0)
     return pose, weights, carry[2]
@@ -643,7 +655,9 @@ def tr_icp_point_level(
 
     jtj0 = jnp.zeros((B, 6, 6), dtype=jnp.result_type(depth0, K))
     carry = (pose[0], pose[1], jtj0)
-    carry = run_gn_iterations(gn_iteration, carry, max_iter, unroll)
+    carry = run_gn_iterations(
+        gn_iteration, carry, max_iter, unroll, scan_ok=True
+    )
     return (carry[0], carry[1]), carry[2]
 
 

@@ -136,6 +136,13 @@ def test_apply_overrides_coercion():
     # untouched fields keep the preset values
     assert out.uncertainty_type == cfg.uncertainty_type
 
+    # string fields whose sentinel is the literal "None" stay strings
+    out2 = apply_overrides(cfg, ["mest_type=None", "scaler=None"])
+    assert out2.mest_type == "None" and out2.scaler == "None"
+    # Optional fields clear via 'none' even when the preset set a value
+    icp = apply_overrides(get_preset("feature_icp"), ["scale_scaler=none"])
+    assert icp.scale_scaler is None
+
     tcfg = apply_overrides(TrainConfig(), ["lr_decay_epochs=3,7", "opt=sgd"])
     assert tcfg.lr_decay_epochs == (3, 7)
     assert tcfg.opt == "sgd"

@@ -223,3 +223,29 @@ def test_scan_remat_loop_gradient_parity(rng, monkeypatch):
             np.testing.assert_allclose(
                 a, b, rtol=0, atol=5e-3 * max(np.abs(b).max(), 1e-6)
             )
+
+
+def test_scan_remat_skips_flax_module_loops(rng, monkeypatch):
+    """Tracks whose GN bodies apply bound flax modules (the Direct-ResVol
+    damping MLP, learned M-estimators) must stay Python-unrolled under
+    DPFT_TRAIN_LOOP=scan_remat instead of raising UnexpectedTracerError
+    (run_gn_iterations scan_ok gating)."""
+    monkeypatch.setenv("DPFT_TRAIN_LOOP", "scan_remat")
+    net = LeastSquareTracking(cfg=get_preset("DeepIC"))
+    batch = synthetic_batch(rng)
+    tcfg = TrainConfig()
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        *(jnp.asarray(batch[k]) for k in
+          ("color0", "color1", "depth0", "depth1", "calib")),
+        train=True,
+    )
+
+    def loss_fn(params, batch_stats):
+        loss, _ = compute_loss(net, tcfg, params, batch_stats, batch)
+        return loss
+
+    l, g = jax.jit(jax.value_and_grad(loss_fn))(
+        variables["params"], variables.get("batch_stats", {})
+    )
+    assert np.isfinite(float(l))
