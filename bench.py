@@ -22,6 +22,43 @@ import numpy as np
 
 BASELINE_FPS = 6.0  # reference torch CPU frames/s (B=8, 120x160)
 
+# the axon TPU attaches through a localhost relay on these ports; if the
+# relay daemon is dead (it cannot be restarted from inside the VM — see
+# CLAUDE.md), importing jax and touching devices hangs indefinitely on a
+# TCP dial instead of failing, so preflight with a direct socket probe
+_RELAY_PORTS = (8082, 8083, 8087, 8092, 8093, 8097, 8102, 8103, 8107, 8112, 8113, 8117)
+
+
+def _relay_alive() -> bool:
+    import socket
+
+    for port in _RELAY_PORTS:
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s.settimeout(0.25)
+        try:
+            if s.connect_ex(("127.0.0.1", port)) == 0:
+                return True
+        finally:
+            s.close()
+    return False
+
+
+def preflight_tpu():
+    """Fail fast (exit 3) when the TPU relay is down instead of hanging."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return  # explicit CPU run, nothing to probe
+    if not _relay_alive():
+        print(
+            json.dumps(
+                {"metric": "error", "value": None, "unit": None,
+                 "vs_baseline": None,
+                 "error": "tpu relay not listening (ports 8082-8117); "
+                          "see CLAUDE.md — TPU unavailable this session"}
+            ),
+            flush=True,
+        )
+        raise SystemExit(3)
+
 
 def _setup_cache():
     import jax
@@ -129,6 +166,7 @@ def sweep():
 
 
 if __name__ == "__main__":
+    preflight_tpu()
     if "--sweep" in sys.argv:
         sweep()
     else:

@@ -48,6 +48,7 @@ def run_vo(
     kf_switch_dist: float = 0.25,
     kf_switch_angle: float = 0.35,
     verbose: bool = False,
+    use_gt: bool = False,
 ):
     """Track a full sequence.
 
@@ -60,6 +61,10 @@ def run_vo(
 
     :param dataset: test-mode dataset exposing pair_frames / __getitem__
     :param forward_fn: (color0,color1,depth0,depth1,K) -> (R [1,3,3], t [1,3])
+    :param use_gt: track with the dataset's ground-truth relative poses
+        instead of the network (the reference's --gt_tracker debug
+        baseline, kf_vo.py:365) — the trajectory then reproduces GT
+        exactly, isolating chaining/keyframe logic from tracking error
     :return: (poses_est [N,4,4] world-from-camera, poses_gt or None)
     """
     import jax.numpy as jnp
@@ -81,14 +86,19 @@ def run_vo(
             item = dataset.pair_frames(kf_idx, i)
         else:
             item = dataset[i - 1]
-        args = tuple(
-            jnp.asarray(item[k][None])
-            for k in ("color0", "color1", "depth0", "depth1", "calib")
-        )
-        R, t = forward_fn(*args)
-        T_CK = np.eye(4)  # live-from-reference
-        T_CK[:3, :3] = np.asarray(R)[0]
-        T_CK[:3, 3] = np.asarray(t)[0]
+        if use_gt:
+            if item.get("transform") is None:
+                raise ValueError("--gt_tracker needs a dataset with GT poses")
+            T_CK = np.asarray(item["transform"], np.float64)
+        else:
+            args = tuple(
+                jnp.asarray(item[k][None])
+                for k in ("color0", "color1", "depth0", "depth1", "calib")
+            )
+            R, t = forward_fn(*args)
+            T_CK = np.eye(4)  # live-from-reference
+            T_CK[:3, :3] = np.asarray(R)[0]
+            T_CK[:3, 3] = np.asarray(t)[0]
         if vo_type == "keyframe":
             T_WC = T_WK @ np.linalg.inv(T_CK)
         else:
@@ -147,6 +157,11 @@ def main(argv=None):
                    choices=("DeepIC", "RGB", "ICP", "RGB+ICP", "feature", "feature_icp"))
     p.add_argument("--vo_type", default="incremental", choices=("incremental", "keyframe"))
     p.add_argument("--checkpoint", default="")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any TrackerConfig field on top of --vo")
+    p.add_argument("--gt_tracker", action="store_true",
+                   help="track with GT relative poses instead of the network "
+                        "(debug baseline, ref kf_vo.py:365)")
     p.add_argument("--image_resize", type=float, default=0.25)
     p.add_argument("--output", default="vo_trajectory.txt")
     p.add_argument("--verbose", action="store_true")
@@ -155,14 +170,14 @@ def main(argv=None):
     import jax
 
     from ..data.loader import load_data
-    from ..models.presets import get_preset
+    from ..models.presets import apply_overrides, get_preset
     from ..models.tracker import LeastSquareTracking
 
     dataset = load_data(
         args.dataset, [1], "test", select_traj=args.trajectory,
         image_resize=args.image_resize, root=args.data_root,
     )
-    net = LeastSquareTracking(cfg=get_preset(args.vo))
+    net = LeastSquareTracking(cfg=apply_overrides(get_preset(args.vo), args.set))
 
     item = dataset[0]
     import jax.numpy as jnp
@@ -187,7 +202,10 @@ def main(argv=None):
     def forward(c0, c1, d0, d1, K):
         return net.apply(variables, c0, c1, d0, d1, K, train=False)
 
-    poses, gt = run_vo(dataset, forward, vo_type=args.vo_type, verbose=args.verbose)
+    poses, gt = run_vo(
+        dataset, forward, vo_type=args.vo_type, verbose=args.verbose,
+        use_gt=args.gt_tracker,
+    )
     write_tum_trajectory(args.output, poses)
     print(f"[kf_vo] wrote {len(poses)} poses to {args.output}")
     if gt is not None:

@@ -75,6 +75,29 @@ def test_kf_vo_incremental(tum_fixture, tmp_path):
     assert np.all(np.isfinite(vals))
 
 
+def test_kf_vo_gt_tracker(tum_fixture, tmp_path, capsys):
+    """--gt_tracker (ref kf_vo.py:365) chains the dataset's GT relative
+    poses; the trajectory must reproduce GT exactly (ATE ~ 0)."""
+    from deep_prob_feature_track_tpu.apps.kf_vo import main
+
+    out = str(tmp_path / "traj_gt.txt")
+    rc = main(
+        [
+            "--dataset", "TUM_RGBD",
+            "--data_root", "",
+            "--trajectory", tum_fixture,
+            "--vo", "RGB",
+            "--vo_type", "keyframe",
+            "--gt_tracker",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    ate_cm = float(printed.split("ATE-RMSE vs GT:")[1].split("cm")[0])
+    assert ate_cm < 1e-4, printed
+
+
 def test_convergence_basin_cli(tum_fixture, tmp_path):
     import pickle
 
