@@ -37,6 +37,9 @@ def build_argparser():
                             "Iter_Point2Plane", "RGBD", "ColorICP",
                             "Iter_ColorICP"))
     p.add_argument("--obj_only", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard eval batches over all local devices "
+                        "(batch_size must divide the device count)")
     p.add_argument("--output_dir", default="test_results")
     p.add_argument("--time", action="store_true")
     p.add_argument(
@@ -182,10 +185,23 @@ def main(argv=None):
                 obj_mask0=obj_mask0, obj_mask1=obj_mask1, train=False,
             )
 
+    sharding = None
+    if args.mesh:
+        from ..parallel.mesh import batch_sharding, make_mesh
+
+        n_dev = len(jax.devices())
+        if args.batch_size % n_dev:
+            raise SystemExit(
+                f"--mesh: batch_size {args.batch_size} not divisible by "
+                f"{n_dev} devices"
+            )
+        sharding = batch_sharding(make_mesh())
+
     results = {}
     for key, loader in loaders.items():
         info = evaluate_two_view(
-            loader, forward, has_mask=has_mask, obj_only=args.obj_only, timers=timers
+            loader, forward, has_mask=has_mask, obj_only=args.obj_only,
+            timers=timers, sharding=sharding,
         )
         results[key] = info
         if "epes" in info:

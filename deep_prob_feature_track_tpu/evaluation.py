@@ -83,15 +83,24 @@ def evaluate_two_view(
     has_mask: bool = False,
     obj_only: bool = False,
     timers=None,
+    sharding=None,
 ) -> Dict[str, np.ndarray]:
     """Two-view eval loop (ref evaluate.py:123-226).
 
     :param forward_fn: jitted ``(color0, color1, depth0, depth1, K[,
         mask0, mask1]) -> (R, t)``
+    :param sharding: optional NamedSharding for the batch inputs
+        (parallel.mesh.batch_sharding) — device-puts every array with it,
+        so the jitted forward runs SPMD over the mesh (multi-chip eval)
     :return: dict of per-frame arrays (R_est, t_est, epes, angular_error,
         translation_error, names)
     """
+    import jax
     import jax.numpy as jnp
+
+    def dev(x):
+        arr = jnp.asarray(x)
+        return jax.device_put(arr, sharding) if sharding is not None else arr
 
     out = {"R_est": [], "t_est": [], "names": []}
     if "EPE3D" in objectives:
@@ -104,13 +113,13 @@ def evaluate_two_view(
         if timers:
             timers.tic("forward step")
         args = [
-            jnp.asarray(batch[k]) for k in ("color0", "color1", "depth0", "depth1", "calib")
+            dev(batch[k]) for k in ("color0", "color1", "depth0", "depth1", "calib")
         ]
         kwargs = {}
         if has_mask and obj_only:
             kwargs = {
-                "obj_mask0": jnp.asarray(batch["obj_mask0"]),
-                "obj_mask1": jnp.asarray(batch["obj_mask1"]),
+                "obj_mask0": dev(batch["obj_mask0"]),
+                "obj_mask1": dev(batch["obj_mask1"]),
             }
         R, t = forward_fn(*args, **kwargs)
         if timers:

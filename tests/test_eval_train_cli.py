@@ -79,6 +79,36 @@ def test_evaluate_cli(tum_fixture, tmp_path, capsys):
     assert "mean values of trajectories keyframe 1" in text
 
 
+def test_evaluate_cli_mesh_matches_single(tum_fixture, tmp_path, capsys):
+    """--mesh (batch sharded over the virtual 8-device mesh) must produce
+    the same EPE3D/RPE metrics as the unsharded run."""
+    import re
+
+    from deep_prob_feature_track_tpu.apps.evaluate import main
+
+    def run(extra, outdir):
+        rc = main(
+            [
+                "--dataset", "TUM_RGBD",
+                "--data_root", "",
+                "--trajectory", tum_fixture,
+                "--preset", "RGB",
+                "--keyframes", "1",
+                "--batch_size", "8",
+                "--output_dir", str(tmp_path / outdir),
+            ]
+            + extra
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        return [float(x) for x in re.findall(r"EPE3D=([\d.]+)cm", out)]
+
+    single = run([], "r_single")
+    mesh = run(["--mesh"], "r_mesh")
+    assert len(single) == len(mesh) >= 1
+    np.testing.assert_allclose(mesh, single, rtol=1e-3)
+
+
 def test_train_cli_smoke(tum_fixture, tmp_path):
     from deep_prob_feature_track_tpu.apps.train import main
     from deep_prob_feature_track_tpu.data import tum as tum_mod
