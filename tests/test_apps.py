@@ -240,3 +240,49 @@ def test_convergence_basin_plots(tum_fixture, tmp_path):
     )
     assert rc == 0
     assert (tmp_path / "cb2_2d.png").exists()
+
+
+def test_traj_eval_cli(tmp_path, capsys):
+    """ATE/RPE tool: identical trajectories -> 0 error; a rigid-body
+    offset of the whole trajectory is removed by alignment (ATE 0) while
+    a per-frame corruption shows up in both metrics."""
+    import json
+
+    from deep_prob_feature_track_tpu.apps.kf_vo import write_tum_trajectory
+    from deep_prob_feature_track_tpu.apps.traj_eval import main
+
+    rng = np.random.RandomState(0)
+    n = 12
+    poses = [np.eye(4)]
+    for _ in range(n - 1):
+        d = np.eye(4)
+        ang = 0.03 * rng.randn()
+        d[:3, :3] = np.asarray(
+            [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]]
+        )
+        d[:3, 3] = 0.05 * rng.randn(3)
+        poses.append(poses[-1] @ d)
+    poses = np.stack(poses)
+
+    gt_file = str(tmp_path / "gt.txt")
+    est_file = str(tmp_path / "est.txt")
+    write_tum_trajectory(gt_file, poses)
+
+    # rigid offset: ATE must vanish under alignment, frame-gap RPE too
+    offset = np.eye(4)
+    offset[:3, 3] = [1.0, -2.0, 0.5]
+    write_tum_trajectory(est_file, np.einsum("ij,njk->nik", offset, poses))
+    assert main(["--est", est_file, "--gt", gt_file]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["pairs"] == n
+    assert out["ate_rmse_m"] < 1e-5
+    assert out["rpe_trans_rmse_m"] < 1e-5
+
+    # corrupted trajectory: both metrics move
+    noisy = poses.copy()
+    noisy[:, :3, 3] += 0.02 * rng.randn(n, 3)
+    write_tum_trajectory(est_file, noisy)
+    main(["--est", est_file, "--gt", gt_file])
+    out = json.loads(capsys.readouterr().out)
+    assert out["ate_rmse_m"] > 5e-3
+    assert out["rpe_trans_rmse_m"] > 5e-3
