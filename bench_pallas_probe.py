@@ -105,4 +105,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from bench import preflight_tpu
+
+    preflight_tpu()  # fail fast instead of hanging on a dead relay
     main()

@@ -161,6 +161,9 @@ def ab():
 
 
 if __name__ == "__main__":
+    from bench import preflight_tpu
+
+    preflight_tpu()  # fail fast instead of hanging on a dead relay
     if "--sweep" in sys.argv:
         sweep()
     elif "--ab" in sys.argv:

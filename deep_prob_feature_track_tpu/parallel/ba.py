@@ -159,7 +159,7 @@ def refine_pose_graph_sharded(
     zero-information edges if needed).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.shape[axis]
     E = graph.edges_i.shape[0]

@@ -129,7 +129,7 @@ def refine_dense_window(
         edge_weights = jnp.ones_like(edges_i, dtype=R.dtype)
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         n_dev = mesh.shape[axis]
