@@ -469,3 +469,103 @@ def test_aged_checkpoint_real_frames_parity(rng, ref_modules, tmp_path):
     np.testing.assert_allclose(
         np.asarray(t_j), t_ref.numpy().reshape(-1, 3), atol=5e-4
     )
+
+
+def test_training_gradient_parity(rng, ref_modules):
+    """TRAINING-dynamics parity: parameter gradients of the deep-supervised
+    pose loss must match the reference's autodiff through its own facade.
+
+    Both facades run in train mode (BN batch statistics, per-level pose
+    stacks, ref LeastSquareTracking.py:568-575) on the same weights and
+    batch; the torch gradients are mapped through the same state_dict
+    converter as the weights (transposes/reshapes are permutations, which
+    commute with differentiation).  This is the complement of the forward
+    parity tests: it validates that a training run here follows the
+    reference's training trajectory, not just its inference outputs.
+    """
+    import models.LeastSquareTracking as ref_track
+
+    from deep_prob_feature_track_tpu.models.import_torch import convert_state_dict
+    from deep_prob_feature_track_tpu.models.presets import get_preset
+    from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
+    import dataclasses
+
+    torch.manual_seed(5)
+    opts = reference_options(init_pose="sfm_net")
+    ref = ref_track.LeastSquareTracking(
+        encoder_name="ConvRGBD2",
+        uncertainty_type="laplacian",
+        max_iter_per_pyr=3,
+        mEst_type="None",
+        solver_type="Direct-Nodamping",
+        direction="inverse",
+        options=opts,
+    )
+    ref.train()
+
+    cfg = dataclasses.replace(
+        get_preset("feature"), init_pose_type="sfm_net", train_init_pose=False
+    )
+    ours = LeastSquareTracking(cfg=cfg)
+
+    B, H, W = 2, 32, 40
+    img0 = rng.rand(B, 3, H, W).astype(np.float32)
+    img1 = rng.rand(B, 3, H, W).astype(np.float32)
+    depth0 = rng.uniform(0.6, 3.0, (B, 1, H, W)).astype(np.float32)
+    depth1 = rng.uniform(0.6, 3.0, (B, 1, H, W)).astype(np.float32)
+    K = np.tile([[26.0, 26.0, (W - 1) / 2.0, (H - 1) / 2.0]], (B, 1)).astype(
+        np.float32
+    )
+    args = tuple(jnp.asarray(a) for a in (img0, img1, depth0, depth1, K))
+    variables = _to_jax_variables(ref, ours, args)
+
+    # --- torch side: deep-supervised |R - I| + |t| loss over all levels
+    eye = torch.eye(3)
+    pyr_R, pyr_t = ref(
+        *(torch.from_numpy(a) for a in (img0, img1, depth0, depth1, K))
+    )
+    loss_ref = (pyr_R - eye).abs().mean() + pyr_t.abs().mean()
+    loss_ref.backward()
+    grad_sd = {}
+    for name, p in ref.named_parameters():
+        grad_sd[name] = (
+            p.grad.detach().clone() if p.grad is not None else torch.zeros_like(p)
+        )
+    for name, b in ref.named_buffers():  # BN running stats: no gradients
+        grad_sd[name] = torch.zeros_like(b) if b.dtype.is_floating_point else b
+    ref_grads = convert_state_dict(grad_sd)["params"]
+
+    # --- jax side: identical loss, gradients wrt params
+    def loss_fn(params):
+        out, _ = ours.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            *args, train=True, mutable=["batch_stats"],
+        )
+        pR, pt = out
+        return jnp.abs(pR - jnp.eye(3)).mean() + jnp.abs(pt).mean()
+
+    loss_j, grads_j = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+
+    np.testing.assert_allclose(
+        float(loss_j), float(loss_ref.detach()), rtol=1e-5
+    )
+    flat_ref = {
+        "/".join(str(k.key) for k in path): np.asarray(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    }
+    flat_j = {
+        "/".join(str(k.key) for k in path): np.asarray(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(grads_j)[0]
+    }
+    assert set(flat_ref) == set(flat_j), (
+        set(flat_ref) ^ set(flat_j)
+    )
+    checked = 0
+    for key in sorted(flat_j):
+        a, b = flat_j[key], flat_ref[key]
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, b, rtol=0, atol=2e-3 * scale, err_msg=key
+        )
+        checked += 1
+    assert checked > 20  # the full encoder + sfm_net + sigma heads

@@ -38,6 +38,7 @@ def install_reference():
     if _REF not in sys.path:
         sys.path.insert(0, _REF)
     _patch_ufc_forward()
+    _patch_inverse_jacobians()
 
 
 def _patch_ufc_forward():
@@ -59,6 +60,39 @@ def _patch_ufc_forward():
 
     cls.forward = forward
     cls._dpft_mask_patch = True
+
+
+def _patch_inverse_jacobians():
+    """The reference mutates split views in place (``squeeze_`` on the
+    outputs of ``split``, algorithms.py:873-875), which modern torch
+    autograd rejects — the reference cannot TRAIN as shipped.  Rebind the
+    method with out-of-place indexing; the math is unchanged
+    (J = -∇f0/σ - r·σ0·∇σ0/σ³ chained through the warping Jacobian and
+    negated for the inverse direction, algorithms.py:867-886)."""
+    import models.algorithms as ref_alg
+
+    cls = ref_alg.TrustRegionInverseWUncertainty
+    if getattr(cls, "_dpft_train_patch", False):
+        return
+
+    def compose_inverse_jacobians(self, res, sigma, sigma0, grad_f0,
+                                  grad_sigma0, Jx_p, Jy_p):
+        B, C, H, W = sigma0.shape
+        res_e = res.unsqueeze(2)
+        sig_e = sigma.unsqueeze(2)
+        sig0_e = sigma0.unsqueeze(2)
+        J_crd = -grad_f0 / sig_e - res_e * (sig0_e * grad_sigma0 / sig_e ** 3)
+        J_p = ref_alg.compute_jacobian_dIdp(
+            J_crd[:, :, 0], J_crd[:, :, 1], Jx_p, Jy_p
+        )
+        J_rot, J_trs = J_p.view(B, C, H, W, 6).split(3, dim=-1)
+        J_trs = J_trs.permute(0, 1, 4, 2, 3)
+        J_rot = J_rot.permute(0, 1, 4, 2, 3)
+        J_p = (-J_p).view(B, C, -1, 6)
+        return J_p, J_trs, J_rot
+
+    cls.compose_inverse_jacobians = compose_inverse_jacobians
+    cls._dpft_train_patch = True
 
 
 def reference_options(**overrides):
