@@ -569,3 +569,88 @@ def test_training_gradient_parity(rng, ref_modules):
         )
         checked += 1
     assert checked > 20  # the full encoder + sfm_net + sigma heads
+
+
+def test_criterion_parity_rt_epe_and_rpe(rng, ref_modules):
+    """Criterion parity: EPE3D (train pyramid branch + eval branch) and
+    RPE values AND gradients wrt the estimated poses match the reference
+    criterions (ref criterions.py:23-136) — together with the facade
+    gradient parity this covers the whole train-step computation."""
+    import models.criterions as ref_crit
+    from scipy.spatial.transform import Rotation
+
+    from deep_prob_feature_track_tpu import losses
+
+    B, N, H, W = 2, 4, 32, 40
+    R_est = np.stack(
+        [Rotation.random(N, random_state=i).as_matrix() for i in range(B)]
+    ).astype(np.float32)  # [B,N,3,3]
+    # keep rotations small so flows stay finite/representative
+    R_est = np.eye(3, dtype=np.float32) + 0.05 * (R_est - np.eye(3, dtype=np.float32))
+    u, s, vt = np.linalg.svd(R_est)
+    R_est = (u @ vt).astype(np.float32)  # project back to SO(3)
+    t_est = (0.05 * rng.randn(B, N, 3)).astype(np.float32)
+    R_gt = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    t_gt = np.zeros((B, 3), np.float32)
+    depth0 = rng.uniform(0.6, 3.0, (B, 1, H, W)).astype(np.float32)
+    K = np.tile([[26.0, 26.0, (W - 1) / 2.0, (H - 1) / 2.0]], (B, 1)).astype(
+        np.float32
+    )
+    invalid = (rng.rand(B, 1, H, W) < 0.1)
+
+    # --- torch: values + gradients of the summed training loss
+    tR = torch.from_numpy(R_est).requires_grad_()
+    tt = torch.from_numpy(t_est).requires_grad_()
+    loss_ref = ref_crit.compute_RT_EPE_loss(
+        tR, tt, torch.from_numpy(R_gt), torch.from_numpy(t_gt),
+        torch.from_numpy(depth0), torch.from_numpy(K),
+        invalid=torch.from_numpy(invalid),
+    )
+    loss_ref.sum().backward()
+
+    def jloss(Rj, tj):
+        return jnp.sum(
+            losses.compute_rt_epe_loss(
+                Rj, tj, jnp.asarray(R_gt), jnp.asarray(t_gt),
+                jnp.asarray(depth0), jnp.asarray(K), invalid=jnp.asarray(invalid),
+            )
+        )
+
+    val_j, (gR, gt_) = jax.value_and_grad(jloss, argnums=(0, 1))(
+        jnp.asarray(R_est), jnp.asarray(t_est)
+    )
+    np.testing.assert_allclose(float(val_j), float(loss_ref.sum()), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gR), tR.grad.numpy(), atol=2e-4 * np.abs(tR.grad.numpy()).max()
+    )
+    np.testing.assert_allclose(
+        np.asarray(gt_), tt.grad.numpy(), atol=2e-4 * np.abs(tt.grad.numpy()).max()
+    )
+
+    # --- eval branch (single pose, full resolution)
+    with torch.no_grad():
+        e_ref = ref_crit.compute_RT_EPE_loss(
+            torch.from_numpy(R_est[:, 0]), torch.from_numpy(t_est[:, 0]),
+            torch.from_numpy(R_gt), torch.from_numpy(t_gt),
+            torch.from_numpy(depth0), torch.from_numpy(K),
+            invalid=torch.from_numpy(invalid),
+        )
+    e_j = losses.compute_rt_epe_loss(
+        jnp.asarray(R_est[:, 0]), jnp.asarray(t_est[:, 0]), jnp.asarray(R_gt),
+        jnp.asarray(t_gt), jnp.asarray(depth0), jnp.asarray(K),
+        invalid=jnp.asarray(invalid),
+    )
+    np.testing.assert_allclose(np.asarray(e_j), e_ref.numpy(), rtol=1e-5)
+
+    # --- RPE parity (training pyramid branch, ref :86-94)
+    with torch.no_grad():
+        ang_ref, trs_ref = ref_crit.compute_RPE_loss(
+            torch.from_numpy(R_est), torch.from_numpy(t_est),
+            torch.from_numpy(R_gt), torch.from_numpy(t_gt),
+        )
+    ang_j, trs_j = losses.compute_rpe_loss(
+        jnp.asarray(R_est), jnp.asarray(t_est),
+        jnp.asarray(R_gt), jnp.asarray(t_gt),
+    )
+    np.testing.assert_allclose(float(ang_j), float(ang_ref), rtol=1e-4)
+    np.testing.assert_allclose(float(trs_j), float(trs_ref), rtol=1e-4)
