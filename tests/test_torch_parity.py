@@ -471,9 +471,15 @@ def test_aged_checkpoint_real_frames_parity(rng, ref_modules, tmp_path):
     )
 
 
-def test_training_gradient_parity(rng, ref_modules):
+@pytest.mark.parametrize(
+    "preset",
+    ["feature", "feature_icp", "DeepIC"],
+)
+def test_training_gradient_parity(rng, ref_modules, preset):
     """TRAINING-dynamics parity: parameter gradients of the deep-supervised
-    pose loss must match the reference's autodiff through its own facade.
+    pose loss must match the reference's autodiff through its own facade,
+    for every trainable preset (both paper configs + the DeeperIC
+    baseline with its M-estimator and ResVol damping MLP).
 
     Both facades run in train mode (BN batch statistics, per-level pose
     stacks, ref LeastSquareTracking.py:568-575) on the same weights and
@@ -490,22 +496,33 @@ def test_training_gradient_parity(rng, ref_modules):
     from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
     import dataclasses
 
+    REF_SETUP = {
+        "feature": (
+            dict(encoder_name="ConvRGBD2", uncertainty_type="laplacian",
+                 mEst_type="None", solver_type="Direct-Nodamping"),
+            dict(init_pose="sfm_net"),
+        ),
+        "feature_icp": (
+            dict(encoder_name="ConvRGBD2", uncertainty_type="laplacian",
+                 mEst_type="None", solver_type="Direct-Nodamping"),
+            dict(init_pose="sfm_net", combine_ICP=True, scale_icp=0.01),
+        ),
+        "DeepIC": (
+            dict(encoder_name="ConvRGBD2", uncertainty_type="None",
+                 mEst_type="MultiScale2w", solver_type="Direct-ResVol"),
+            dict(init_pose="identity", feature_extract="average",
+                 feature_channel=1, uncertainty_channel=1),
+        ),
+    }
+    ref_kwargs, opt_kwargs = REF_SETUP[preset]
     torch.manual_seed(5)
-    opts = reference_options(init_pose="sfm_net")
     ref = ref_track.LeastSquareTracking(
-        encoder_name="ConvRGBD2",
-        uncertainty_type="laplacian",
-        max_iter_per_pyr=3,
-        mEst_type="None",
-        solver_type="Direct-Nodamping",
-        direction="inverse",
-        options=opts,
+        max_iter_per_pyr=3, direction="inverse",
+        options=reference_options(**opt_kwargs), **ref_kwargs,
     )
     ref.train()
 
-    cfg = dataclasses.replace(
-        get_preset("feature"), init_pose_type="sfm_net", train_init_pose=False
-    )
+    cfg = dataclasses.replace(get_preset(preset), train_init_pose=False)
     ours = LeastSquareTracking(cfg=cfg)
 
     B, H, W = 2, 32, 40
