@@ -671,3 +671,63 @@ def test_criterion_parity_rt_epe_and_rpe(rng, ref_modules):
     )
     np.testing.assert_allclose(float(ang_j), float(ang_ref), rtol=1e-4)
     np.testing.assert_allclose(float(trs_j), float(trs_ref), rtol=1e-4)
+
+
+def test_criterion_parity_uncertainty(rng, ref_modules):
+    """Uncertainty criterion parity: the Mahalanobis RPE (ref :60-76) and
+    the J·Σ·Jᵀ-propagated UEPE3D (ref :139-247) match the reference on
+    SPD pose covariances."""
+    import models.criterions as ref_crit
+    from scipy.spatial.transform import Rotation
+
+    from deep_prob_feature_track_tpu import losses
+
+    B, N, H, W = 2, 3, 32, 40
+    R_est = np.stack(
+        [Rotation.random(N, random_state=i).as_matrix() for i in range(B)]
+    ).astype(np.float32)
+    R_est = np.eye(3, dtype=np.float32) + 0.05 * (R_est - np.eye(3, dtype=np.float32))
+    u, s, vt = np.linalg.svd(R_est)
+    R_est = (u @ vt).astype(np.float32)
+    t_est = (0.05 * rng.randn(B, N, 3)).astype(np.float32)
+    R_gt = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    t_gt = np.zeros((B, 3), np.float32)
+    A = rng.randn(B, N, 6, 6).astype(np.float32) * 0.3
+    spd = A @ np.swapaxes(A, -1, -2) + 2.0 * np.eye(6, dtype=np.float32)
+
+    # --- Mahalanobis RPE with log-det regularizer (inv_var = information)
+    loss_ref = ref_crit.compute_RPE_uncertainty(
+        torch.from_numpy(R_est), torch.from_numpy(t_est),
+        torch.from_numpy(R_gt), torch.from_numpy(t_gt), torch.from_numpy(spd),
+    )
+    loss_j = losses.compute_rpe_uncertainty_loss(
+        jnp.asarray(R_est), jnp.asarray(t_est), jnp.asarray(R_gt),
+        jnp.asarray(t_gt), jnp.asarray(spd),
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_ref), rtol=1e-4)
+
+    # --- UEPE3D: pose covariance pushed through the flow Jacobian
+    depth0 = rng.uniform(0.6, 3.0, (B, 1, H, W)).astype(np.float32)
+    K = np.tile([[26.0, 26.0, (W - 1) / 2.0, (H - 1) / 2.0]], (B, 1)).astype(
+        np.float32
+    )
+    invalid = (rng.rand(B, 1, H, W) < 0.1)
+    with torch.no_grad():
+        nll_ref, epe_ref = ref_crit.compute_RT_EPE_uncertainty_loss(
+            torch.from_numpy(R_est), torch.from_numpy(t_est),
+            torch.from_numpy(R_gt), torch.from_numpy(t_gt),
+            torch.from_numpy(depth0), torch.from_numpy(K),
+            torch.from_numpy(spd), "gaussian",
+            invalid=torch.from_numpy(invalid),
+        )
+    nll_j, epe_j = losses.compute_rt_epe_uncertainty_loss(
+        jnp.asarray(R_est), jnp.asarray(t_est), jnp.asarray(R_gt),
+        jnp.asarray(t_gt), jnp.asarray(depth0), jnp.asarray(K),
+        jnp.asarray(spd), invalid=jnp.asarray(invalid),
+    )
+    np.testing.assert_allclose(
+        np.asarray(nll_j), nll_ref.numpy(), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(epe_j), epe_ref.numpy(), rtol=1e-4
+    )
