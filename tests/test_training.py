@@ -249,3 +249,51 @@ def test_scan_remat_skips_flax_module_loops(rng, monkeypatch):
         variables["params"], variables.get("batch_stats", {})
     )
     assert np.isfinite(float(l))
+
+
+def test_optimizer_parity_vs_torch():
+    """Optimizer semantics parity: 3 steps of our optax chain
+    (clip -> +wd*param -> moments -> lr) must reproduce torch's
+    clip_grad_norm_ + Adam/SGD(weight_decay=4e-4) updates (the
+    reference's create_optim, train_utils.py:42-63 + train.py clip)."""
+    torch = pytest.importorskip("torch")
+    import optax
+
+    shapes = [(7, 5), (13,), (3, 2, 4)]
+    rng_ = np.random.RandomState(7)
+    init = [rng_.randn(*s).astype(np.float32) for s in shapes]
+    grad_seq = [
+        [20.0 * rng_.randn(*s).astype(np.float32) for s in shapes]  # big: clips
+        for _ in range(3)
+    ]
+
+    for opt_name, make_torch in (
+        ("adam", lambda ps: torch.optim.Adam(ps, lr=5e-4, weight_decay=4e-4)),
+        ("sgd", lambda ps: torch.optim.SGD(
+            ps, lr=5e-4, momentum=0.9, weight_decay=4e-4, nesterov=False)),
+    ):
+        # torch side
+        t_params = [torch.nn.Parameter(torch.from_numpy(p.copy())) for p in init]
+        t_opt = make_torch(t_params)
+        for grads in grad_seq:
+            for p, g in zip(t_params, grads):
+                p.grad = torch.from_numpy(g.copy())
+            torch.nn.utils.clip_grad_norm_(t_params, 5.0)
+            t_opt.step()
+
+        # our side (constant lr: schedule boundaries not hit in 3 steps)
+        cfg = TrainConfig(lr=5e-4, opt=opt_name)
+        opt = make_optimizer(cfg, steps_per_epoch=1000)
+        params = [jnp.asarray(p) for p in init]
+        state = opt.init(params)
+        for grads in grad_seq:
+            updates, state = opt.update(
+                [jnp.asarray(g) for g in grads], state, params
+            )
+            params = optax.apply_updates(params, updates)
+
+        for a, b in zip(params, t_params):
+            np.testing.assert_allclose(
+                np.asarray(a), b.detach().numpy(), atol=1e-6,
+                err_msg=opt_name,
+            )
