@@ -192,9 +192,9 @@ def _twohot_enabled(shape, dtype, kind="eval") -> bool:
     )
     if flag == "0":
         return False
-    from ..ops.pallas.gather import supported
+    from ..ops.pallas.gather import profitable, supported
 
-    if not supported(shape, dtype):
+    if not supported(shape, dtype, kind):
         return False
     if _pallas_interpret():
         # CPU tests force the kernels through the Pallas interpreter to
@@ -202,6 +202,10 @@ def _twohot_enabled(shape, dtype, kind="eval") -> bool:
         return True
     if flag == "1":
         return True
+    # auto mode additionally requires the kernel to beat the XLA path at
+    # this shape (the splat's grid overhead loses on small problems)
+    if not profitable(kind, *shape[1:]):
+        return False
     try:
         # the kernels are batch-partitionable via custom_partitioning
         # (ops/pallas/gather.py::_batch_partitioned), so auto mode stays

@@ -54,23 +54,65 @@ _BLK = 256
 _INNER = 8
 # keep the resident feature plane + the [blk, W*C] intermediates in VMEM
 _MAX_PLANE_BYTES = 4 * 1024 * 1024
-# conservative: the 5-matmul grads body already brushed the 16 MB scoped
-# VMEM limit at W*C=1280/inner=8 and the splat runs blk=512, so cap the
-# lane-expanded width where all three kernels are measured-safe (level-0
-# train shape is W*C=1600); re-measure 2048-4096 on hardware before lifting
-_MAX_LANES = 2048
+# probe-calibrated lane caps (scripts/probe_pallas_shapes2.py, v5e,
+# 2026-08-18): the eval/splat kernels are compile-safe and profitable up
+# to W*C=2720 (the level-0 C=17 train shape) with the shrunken blocks of
+# default_config; the 5-matmul grads body loses to the XLA gather above
+# 2048 lanes (33.1 vs 32.3 ms at W*C=2720), so it keeps the lower cap
+_MAX_LANES = 2720
+_MAX_LANES_GRADS = 2048
 
 
-def supported(shape, dtype) -> bool:
+def default_config(kind, H, W, C):
+    """Probe-calibrated (blk, inner) for this shape, or None = no safe config.
+
+    Measured on v5e (scripts/probe_pallas_shapes{,2}.py, dependent-chain
+    slope timing, B=64).  VMEM-stack safety is the binding constraint:
+    Mosaic's scoped 16 MB limit scales with blk*W*C lane-expanded
+    temporaries, and the in-train compile has less headroom than a
+    standalone one (splat blk=512 at W*C=1360 OOM'd in the train step but
+    compiled standalone), so every config here keeps blk*W*C <= 524k —
+    25% under the observed 696k failure point.
+    """
+    WC = W * C
+    if H * WC * 4 > _MAX_PLANE_BYTES:
+        return None
+    if kind == "eval":
+        if WC <= 2048:
+            return (256, 8)
+        return (256, 4) if WC <= _MAX_LANES else None
+    if kind in ("train", "grads"):
+        return (256, 4) if WC <= _MAX_LANES_GRADS else None
+    if kind == "splat":
+        if WC <= 2048:
+            return (256, 8)
+        return (128, 8) if WC <= _MAX_LANES else None
+    raise ValueError(kind)
+
+
+def profitable(kind, H, W, C) -> bool:
+    """Whether the kernel beats the XLA path at this shape (auto mode).
+
+    eval wins at every measured point (2.2x at W*C=1600/C=10, 2.1x at the
+    level-1 C=17 shape, 1.8x at W*C=2720); grads wins modestly inside its
+    lane cap.  The splat's grid overhead loses to XLA's two-hot matmul on
+    small problems (8.0 vs 4.5 ms at the level-1 C=17 shape) and wins on
+    big ones (22-23 vs 34 ms at level-0 C=17): gate on total work
+    N*W*C >= 20M (N = H*W samples per image at the solver's levels).
+    """
+    if kind == "splat":
+        return (H * W) * (W * C) >= 20_000_000
+    return True
+
+
+def supported(shape, dtype, kind="eval") -> bool:
     """Whether the two-hot kernel applies to this warp shape."""
     B, H, W, C = shape
     if dtype != jnp.float32:
         return False
     if H < 2 or W < 2:
         return False
-    if W * C > _MAX_LANES or H * W * C * 4 > _MAX_PLANE_BYTES:
-        return False
-    return True
+    return default_config(kind, H, W, C) is not None
 
 
 def _batch_axis(mesh, arg_shapes):
@@ -340,11 +382,13 @@ def _splat_partitioned(H, W, C, interpret, blk, inner):
     jax.jit, static_argnames=("H", "W", "C", "interpret", "blk", "inner")
 )
 def splat_twohot(g_nc, v0, dv, u0, du, *, H, W, C, interpret=False,
-                 blk=512, inner=4):
+                 blk=None, inner=None):
     """Operand cotangent of the bilinear gather (Pallas, VMEM-resident).
 
-    blk=512/inner=4 (vs the gather kernels' 256/8): a larger MXU K-dim
-    halves the [H, W*C] accumulator read-modify-write traffic per sample.
+    blk/inner default to the probe-calibrated :func:`default_config`
+    ("splat"): blk=512 OOM'd the scoped VMEM inside the real train step
+    at W*C=1360 (bench_train --ab, 2026-08-18) even though it compiled
+    standalone, so the defaults keep blk*W*C well under that point.
     Batch-partitionable under a mesh via custom_partitioning
     (see _batch_partitioned).
 
@@ -353,17 +397,19 @@ def splat_twohot(g_nc, v0, dv, u0, du, *, H, W, C, interpret=False,
     :param dv, du: [B, N] f32 fractional weights in [0, 1]
     :return: [B, H, W, C] f32 operand cotangent
     """
+    d_blk, d_inner = default_config("splat", H, W, C) or (256, 4)
+    blk = d_blk if blk is None else blk
+    inner = d_inner if inner is None else inner
     return _splat_partitioned(H, W, C, interpret, blk, inner)(
         g_nc, v0, dv, u0, du
     )
 
 
 def _call(kernel, n_out, F_flat, v0, dv, u0, du, *, H, W, C, interpret,
-          inner=_INNER):
+          inner=_INNER, blk=_BLK):
     """Shared host wrapper: pack (v0, dv, u0, du) into the blocked aux
     operand, launch over a (B, sample-block) grid, strip the padding."""
     B, N = v0.shape
-    blk = _BLK
     step = blk * inner
     K = -(-N // step)
     N_pad = K * step
@@ -396,14 +442,18 @@ def _call(kernel, n_out, F_flat, v0, dv, u0, du, *, H, W, C, interpret,
 
 
 @functools.lru_cache(maxsize=None)
-def _gather_partitioned(H, W, C, interpret, grads):
-    kernel, n_out, inner = (
-        (_grads_kernel, 3, 4) if grads else (_kernel, 1, _INNER)
+def _gather_partitioned(H, W, C, interpret, grads, blk=None, inner=None):
+    kernel, n_out = (_grads_kernel, 3) if grads else (_kernel, 1)
+    d_blk, d_inner = (
+        default_config("grads" if grads else "eval", H, W, C) or (_BLK, 4)
     )
+    blk = d_blk if blk is None else blk
+    inner = d_inner if inner is None else inner
 
     def impl(F_flat, v0, dv, u0, du):
         outs = _call(kernel, n_out, F_flat, v0, dv, u0, du,
-                     H=H, W=W, C=C, interpret=interpret, inner=inner)
+                     H=H, W=W, C=C, interpret=interpret, inner=inner,
+                     blk=blk)
         return outs if grads else outs[0]
 
     rule = "b h wc, b n, b n, b n, b n -> " + ", ".join(["b c n"] * n_out)
@@ -411,9 +461,10 @@ def _gather_partitioned(H, W, C, interpret, grads):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "C", "interpret")
+    jax.jit, static_argnames=("H", "W", "C", "interpret", "blk", "inner")
 )
-def gather_twohot(F_flat, v0, dv, u0, du, *, H, W, C, interpret=False):
+def gather_twohot(F_flat, v0, dv, u0, du, *, H, W, C, interpret=False,
+                  blk=None, inner=None):
     """Bilinear sample via two-hot MXU contractions.
 
     Batch-partitionable under a mesh via custom_partitioning
@@ -424,15 +475,16 @@ def gather_twohot(F_flat, v0, dv, u0, du, *, H, W, C, interpret=False):
     :param dv, du: [B, N] f32 fractional weights in [0, 1]
     :return: [B, C, N] f32, bit-compatible layout with the XLA gather path
     """
-    return _gather_partitioned(H, W, C, interpret, False)(
+    return _gather_partitioned(H, W, C, interpret, False, blk, inner)(
         F_flat, v0, dv, u0, du
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "C", "interpret")
+    jax.jit, static_argnames=("H", "W", "C", "interpret", "blk", "inner")
 )
-def gather_twohot_grads(F_flat, v0, dv, u0, du, *, H, W, C, interpret=False):
+def gather_twohot_grads(F_flat, v0, dv, u0, du, *, H, W, C, interpret=False,
+                        blk=None, inner=None):
     """Training forward: bilinear sample + within-cell derivative maps.
 
     Same contract as :func:`gather_twohot`, returning ``(out, gx, gy)``
@@ -443,6 +495,6 @@ def gather_twohot_grads(F_flat, v0, dv, u0, du, *, H, W, C, interpret=False):
     inner=4: the 5-matmul body's VMEM stack exceeds the 16 MB scoped
     limit by 128 KB at inner=8.
     """
-    return _gather_partitioned(H, W, C, interpret, True)(
+    return _gather_partitioned(H, W, C, interpret, True, blk, inner)(
         F_flat, v0, dv, u0, du
     )
