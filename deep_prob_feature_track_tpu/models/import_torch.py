@@ -79,8 +79,13 @@ def convert_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
     """
     out: Dict[str, Dict] = {"params": {}, "batch_stats": {}, "unmapped": {}}
     for name, tensor in state_dict.items():
-        v = np.asarray(
-            tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
+        # copy=True: torch's .numpy() returns a VIEW of the tensor's
+        # memory — without the copy, in-place updates to a live source
+        # module (e.g. optimizer steps) would silently mutate the
+        # "converted" weights afterwards
+        v = np.array(
+            tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor,
+            copy=True,
         )
         if name.endswith("num_batches_tracked"):
             continue

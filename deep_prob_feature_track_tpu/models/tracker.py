@@ -146,15 +146,47 @@ class LeastSquareTracking(nn.Module):
     def _instance(self, modules, level: int):
         return modules[level] if self.cfg.no_weight_sharing else modules[0]
 
+    def _functional(self, mod):
+        """Pure clone-apply twin of a bound submodule, for GN-loop bodies.
+
+        Bound flax modules cannot be applied across a JAX transform
+        boundary (lax.scan / jax.checkpoint / fori_loop) from outside a
+        lifted transform — their scope state raises UnexpectedTracerError.
+        Capturing the module's variables here and re-applying an unbound
+        clone makes the callable a plain array function, so the solver
+        loops stay scannable (DPFT_TRAIN_LOOP=scan_remat) for every track.
+
+        BatchNorm caveats: batch_stats UPDATES from the pure calls are
+        dropped (the train path re-applies the bound module once after the
+        loop to register them — see tr_ufc_level(register_stats=...)).
+        Returns None while initializing: parameters do not exist yet, and
+        the unrolled bound path is what creates them.
+        """
+        if self.is_initializing():
+            return None
+        variables = mod.variables
+        unbound = mod.clone(parent=None)
+
+        def fn(*args, **kwargs):
+            out = unbound.apply(variables, *args, mutable=["batch_stats"],
+                                **kwargs)
+            return out[0]
+
+        return fn
+
     def _solver(self, level: int) -> TR.DirectSolver:
         cfg = self.cfg
         if cfg.solver_type == "Direct-ResVol":
             net = self._instance(self.damping_nets, level)
+            # DampingRegressor is BN-free, so its pure twin is exact in
+            # every mode; the bound module is only needed during init
+            pure = self._functional(net)
             return TR.DirectSolver(
                 kind="resvol",
                 direction=cfg.direction,
                 samples=cfg.tr_samples,
-                damping_mlp=net,
+                damping_mlp=pure if pure is not None else net,
+                damping_pure=pure is not None,
             )
         return TR.DirectSolver(kind="nodamping", direction=cfg.direction)
 
@@ -288,12 +320,27 @@ class LeastSquareTracking(nn.Module):
             def mest_fn(res, f0, f1, wp):
                 return mest(res, f0, f1, wp, train=train)
 
+            # "None"/"Huber" estimators touch no variables, so the bound
+            # closure is already loop-safe; a learned estimator gets a
+            # pure clone-apply twin for the loop body (None during init:
+            # the unrolled bound calls create the parameters)
+            stateless = cfg.mest_type in ("None", "Huber")
+            mest_pure = None if stateless else self._functional(mest)
+            if mest_pure is not None:
+                def mest_loop_fn(res, f0, f1, wp):
+                    return mest_pure(res, f0, f1, wp, train=train)
+            else:
+                mest_loop_fn = mest_fn
+
             pose, weights, JtWJ = TR.tr_ufc_level(
                 pose, x0, x1, dpt0, dpt1, K_l, sigma0, sigma1,
                 mest_fn, self._solver(level), w_prior=w_prior,
                 obj_mask0=m0, obj_mask1=m1,
                 max_iter=cfg.max_iter_per_pyr,
-                unroll=train or cfg.mest_type != "None",
+                unroll=train,
+                mest_loop_fn=mest_loop_fn,
+                loop_pure=stateless or mest_pure is not None,
+                register_stats=train and mest_pure is not None,
             )
             return pose, weights, JtWJ
         if tt == "ICP":
@@ -454,7 +501,12 @@ class LeastSquareTracking(nn.Module):
         :return: ``(pose, diag)`` where ``diag`` maps name -> list indexed
             by pyramid level (0 = finest): ``features0/1``, ``sigma0/1``,
             ``residual`` (weighted residual map at the post-level pose),
-            ``invalid`` (bool mask), ``poses`` (per-level (R, t)).
+            ``invalid`` (bool mask), ``poses`` (per-level (R, t)),
+            ``matches`` (per-level ``(coords [B,2,N], valid [B,N])`` —
+            where a strided grid of frame-0 pixels lands in frame 1 under
+            the final level pose; feed to
+            ``utils/display.visualize_matches_on_image``, the headless
+            twin of ref tools/display.py:168-194).
         """
         from ..solvers.residuals import (
             compute_inverse_residuals,
@@ -473,6 +525,7 @@ class LeastSquareTracking(nn.Module):
             "residual": [None] * 4,
             "invalid": [None] * 4,
             "poses": [None] * 4,
+            "matches": [None] * 4,
         }
         w_prior = jnp.ones_like(inv_d0[3]) * 0.001
         for level in (3, 2, 1, 0):
@@ -486,6 +539,9 @@ class LeastSquareTracking(nn.Module):
             tt = cfg.track_type
             if tt in ("U_IC", "IC"):
                 px, py = W.generate_xy_grid(B, H, W_, K_l)
+                u, v, _ = W.batch_warp_inverse_depth(
+                    px, py, inv_d0[level], pose, K_l
+                )
                 if tt == "U_IC":
                     out, _, _ = compute_inverse_residuals(
                         pose, inv_d0[level], inv_d1[level], x0[level], x1[level],
@@ -518,6 +574,16 @@ class LeastSquareTracking(nn.Module):
                 occ = W.check_occ(dpt_r, dpt1_pyr[level], u, v) | ~depth_valid
                 res_map = jnp.where(occ, 0.0, dpt1_w - dpt_r)
                 invalid = occ
+            # sparse correspondence grid: where a strided grid of frame-0
+            # pixels lands in frame 1 under this level's final pose (the
+            # data ref tools/display.py:168-194 draws as match dots);
+            # strided (static) rather than masked so the solve stays
+            # jittable — invalid grid points are flagged, not dropped
+            sh, sw = max(H // 8, 1), max(W_ // 8, 1)
+            us = u[:, 0, ::sh, ::sw].reshape(B, -1)
+            vs = v[:, 0, ::sh, ::sw].reshape(B, -1)
+            ok = ~invalid[:, :1, ::sh, ::sw].reshape(B, -1)
+            diag["matches"][level] = (jnp.stack([us, vs], axis=1), ok)
             diag["residual"][level] = res_map
             diag["invalid"][level] = invalid
             diag["poses"][level] = pose

@@ -60,11 +60,12 @@ def run_gn_iterations(body, carry, max_iter: int, unroll: bool,
       (tests/test_training.py).
 
     ``scan_ok`` must be set ONLY for bodies that are pure array functions.
-    The IC/U_FC tracks can close over *bound flax modules* (the
-    Direct-ResVol damping MLP, a learned M-estimator); applying one
-    inside ``lax.scan``/``jax.checkpoint`` from outside a lifted
-    transform raises UnexpectedTracerError, so those loops stay
-    Python-unrolled regardless of DPFT_TRAIN_LOOP.
+    A body that applies a *bound flax module* (whose scope raises
+    UnexpectedTracerError inside ``lax.scan``/``jax.checkpoint`` from
+    outside a lifted transform) must stay Python-unrolled; the tracker
+    avoids this by handing the IC/U_FC loops pure clone-apply twins of
+    its M-estimator/damping modules (``LeastSquareTracking._functional``),
+    so every track is scannable post-init.
     """
     if not unroll:
         return jax.lax.fori_loop(0, max_iter, body, carry)
@@ -115,6 +116,18 @@ class DirectSolver(NamedTuple):
     direction: str = "inverse"  # 'inverse' | 'forward'
     samples: int = 10
     damping_mlp: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+    # True when damping_mlp is safe inside lax control flow (a pure
+    # clone-apply callable, not a BOUND flax module whose scope state
+    # raises UnexpectedTracerError across transform boundaries).  With it
+    # the resvol loops become scannable (DPFT_TRAIN_LOOP=scan_remat) and
+    # eval can use fori_loop instead of the Python unroll.
+    damping_pure: bool = False
+
+    @property
+    def loop_safe(self) -> bool:
+        """Whether GN bodies applying this solver may run under lax.scan/
+        jax.checkpoint/fori_loop."""
+        return self.kind != "resvol" or self.damping_pure
 
 
 def _update(solver: DirectSolver, H, JtR, pose) -> Pose:
@@ -395,8 +408,13 @@ def tr_ic_level(
         return (R_new, t_new, new_res)
 
     carry = (pose[0], pose[1], residuals)
+    # the body is pure jnp except for the resvol damping MLP: with a pure
+    # damping callable (solver.loop_safe) the loop is scannable under
+    # DPFT_TRAIN_LOOP=scan_remat and eval may use fori_loop; a BOUND flax
+    # damping module forces the Python unroll (VERDICT round-2 item 6)
     R, t, residuals = run_gn_iterations(
-        gn_iteration, carry, max_iter, unroll or solver.kind == "resvol"
+        gn_iteration, carry, max_iter, unroll or not solver.loop_safe,
+        scan_ok=solver.loop_safe,
     )
     return (R, t), weights, JtWJ
 
@@ -488,6 +506,9 @@ def tr_ufc_level(
     obj_mask1=None,
     max_iter: int = 3,
     unroll: bool = False,
+    mest_loop_fn: Optional[Callable] = None,
+    loop_pure: bool = True,
+    register_stats: bool = False,
 ):
     """One level of the forward-compositional uncertainty solver.
 
@@ -500,6 +521,19 @@ def tr_ufc_level(
     (algorithms.py:1999-2008): pixels outside the frame-0 object, or warping
     outside the frame-1 object, are excluded.  Returns ``(pose, weights,
     JtWJ)`` for uncertainty propagation.
+
+    :param mest_loop_fn: M-estimator used INSIDE the GN body (defaults to
+        ``mest_fn``).  Pass a pure clone-apply twin of a bound flax
+        M-estimator so the loop can run under lax control flow
+        (fori_loop / scan_remat) instead of the Python unroll.
+    :param loop_pure: whether ``mest_loop_fn`` is safe inside lax control
+        flow.  False (a bound flax module with parameters) forces the
+        Python unroll regardless of ``unroll``/DPFT_TRAIN_LOOP.
+    :param register_stats: re-apply the BOUND ``mest_fn`` once after the
+        loop on the final iteration's residual.  A pure in-loop estimator
+        drops its BatchNorm batch_stats updates; this single call restores
+        the unrolled path's "last call wins" running-statistics semantics
+        with an identical input (hence identical weights).
     """
     from ..ops.image import sobel_gradients
 
@@ -513,8 +547,11 @@ def tr_ufc_level(
         ufc_maps.append(obj_mask1.astype(x1.dtype))
     ufc_op, ufc_sizes = W.make_warp_operand(ufc_maps)
 
+    if mest_loop_fn is None:
+        mest_loop_fn = mest_fn
+
     def gn_iteration(_, carry):
-        R, t, _, _ = carry
+        R, t, _, _, _ = carry
         p = (R, t)
         u, v, dpt_r, depth_valid, u6, v6 = _warp_forward_depth(dpt0, p, K)
         warped = W.warp_operand(ufc_op, ufc_sizes, u, v)
@@ -536,19 +573,26 @@ def tr_ufc_level(
         alpha = jnp.where(out.invalid, 1e-6, a_f / out.sigma - scale * a_s)
         beta = jnp.where(out.invalid, 1e-6, b_f / out.sigma - scale * b_s)
         fac = FactoredJtJ(alpha=alpha, beta=beta, u=u6, v=v6, sign=-1.0)
-        weights = mest_fn(out.weighted_res, x0, x1, w_prior)
+        weights = mest_loop_fn(out.weighted_res, x0, x1, w_prior)
         JtWJ, _ = jtj_jtr(fac, out.weighted_res, weights=weights)
         JtR = jtr_only(fac, out.weighted_res, weights=weights)
         H6 = lev_mar_damp(JtWJ)
         R_new, t_new = _update(solver, H6, JtR, p)
-        return (R_new, t_new, weights, JtWJ)
+        return (R_new, t_new, weights, JtWJ, out.weighted_res)
 
     w0 = mest_fn(jnp.zeros_like(x0), x0, x1, w_prior)
     jtj0 = jnp.zeros((B, 6, 6), dtype=jnp.result_type(x0, sigma0, K))
-    carry = (pose[0], pose[1], w0, jtj0)
-    R, t, weights, JtWJ = run_gn_iterations(
-        gn_iteration, carry, max_iter, unroll or solver.kind == "resvol"
+    carry = (pose[0], pose[1], w0, jtj0, jnp.zeros_like(x0))
+    body_ok = loop_pure and solver.loop_safe
+    R, t, weights, JtWJ, last_wres = run_gn_iterations(
+        gn_iteration, carry, max_iter, unroll or not body_ok, scan_ok=body_ok
     )
+    if register_stats:
+        # same input as the final in-loop call -> identical weights; the
+        # bound apply additionally sows the BatchNorm batch_stats update
+        # the pure in-loop estimator dropped ("last call wins" parity with
+        # the unrolled path)
+        weights = mest_fn(last_wres, x0, x1, w_prior)
     return (R, t), weights, JtWJ
 
 

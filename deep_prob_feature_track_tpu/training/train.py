@@ -104,9 +104,13 @@ def compute_loss(
     )
     R_gt = batch["transform"][:, :3, :3]
     t_gt = batch["transform"][:, :3, 3]
-    invalid = batch.get("obj_mask0")
-    if invalid is not None:
-        invalid = ~invalid  # loss only on the object (ref train.py:141-151)
+    # the reference's "lazy way to bypass invalid pixels": pixels at the
+    # GLOBAL depth min/max of the batch tensor are excluded from the loss,
+    # OR'd with the inverted object mask when present (ref train.py:129-132)
+    depth0 = batch["depth0"]
+    invalid = (depth0 == jnp.min(depth0)) | (depth0 == jnp.max(depth0))
+    if "obj_mask0" in batch:
+        invalid = ~batch["obj_mask0"] | invalid  # loss only on the object
 
     if net.cfg.uncer_prop:
         pyr_R, pyr_t, sigma_ksi = out
@@ -115,7 +119,9 @@ def compute_loss(
         sigma_ksi = None
 
     if train_cfg.loss == "EPE3D":
-        per_sample = losses.compute_rt_epe_loss(
+        # the reference trains on epes3d = EPE3D.mean() * 1e2 (train.py:168)
+        # — the x100 matters: it interacts with the 5.0 grad-norm clip
+        per_sample = 1e2 * losses.compute_rt_epe_loss(
             pyr_R, pyr_t, R_gt, t_gt, batch["depth0"], batch["calib"], invalid=invalid
         )
     elif train_cfg.loss == "RPE":

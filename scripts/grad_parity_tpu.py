@@ -1,11 +1,11 @@
 """TPU gradient-parity: loss+grads of one train step, kernels on vs off."""
-import os, numpy as np, jax, jax.numpy as jnp
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from deep_prob_feature_track_tpu.models.presets import get_preset
 from deep_prob_feature_track_tpu.models.tracker import LeastSquareTracking
-from deep_prob_feature_track_tpu.losses import epe3d_loss
-from deep_prob_feature_track_tpu.geometry.lie import batch_create_transform
 
 B, H, W = 8, 120, 160
 rng = np.random.RandomState(0)
@@ -21,8 +21,11 @@ params = variables["params"]
 rest = {k: v for k, v in variables.items() if k != "params"}
 
 def loss_fn(p):
-    R, t = net.apply({"params": p, **rest}, *args, train=True)
-    return jnp.abs(R - Rg).mean() + jnp.abs(t - tg).mean()
+    (R, t), _ = net.apply(
+        {"params": p, **rest}, *args, train=True, mutable=["batch_stats"]
+    )
+    # train mode stacks per-level poses: R [B,L,3,3], t [B,L,3]
+    return jnp.abs(R - Rg[:, None]).mean() + jnp.abs(t - tg[:, None]).mean()
 
 def run(flag):
     os.environ["DPFT_PALLAS_GATHER"] = flag

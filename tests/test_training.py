@@ -225,13 +225,44 @@ def test_scan_remat_loop_gradient_parity(rng, monkeypatch):
             )
 
 
-def test_scan_remat_skips_flax_module_loops(rng, monkeypatch):
-    """Tracks whose GN bodies apply bound flax modules (the Direct-ResVol
-    damping MLP, learned M-estimators) must stay Python-unrolled under
-    DPFT_TRAIN_LOOP=scan_remat instead of raising UnexpectedTracerError
-    (run_gn_iterations scan_ok gating)."""
-    monkeypatch.setenv("DPFT_TRAIN_LOOP", "scan_remat")
-    net = LeastSquareTracking(cfg=get_preset("DeepIC"))
+def _ufc_learned_mest_cfg():
+    import dataclasses
+
+    # forward-compositional track with a LEARNED M-estimator applied inside
+    # the GN body — the hardest case for lax-control-flow loops.  Keep the
+    # preset's sfm_net init: at an EXACTLY-identity init pose the warp
+    # coordinates sit bitwise on the frame-edge in-bounds boundaries, and
+    # XLA's different fusion inside a lax.scan body legitimately flips
+    # those comparisons (discrete occ-mask flips, huge at test
+    # resolutions where edge pixels are ~1/8 of the image) — both
+    # roundings are valid, so the parity test must avoid the degenerate
+    # config rather than loosen tolerances past meaning.
+    return dataclasses.replace(
+        get_preset("feature"), direction="forward", mest_type="MultiScale2w",
+        train_init_pose=False,
+    )
+
+
+@pytest.mark.parametrize("cfg_name", ["DeepIC", "ufc_learned_mest"])
+def test_scan_remat_flax_module_loops_gradient_parity(rng, monkeypatch, cfg_name):
+    """Tracks whose GN bodies apply learned modules (the Direct-ResVol
+    damping MLP of DeepIC, a learned U_FC M-estimator) take the scan_remat
+    path too — via pure clone-apply twins of the bound flax modules
+    (LeastSquareTracking._functional, VERDICT round-2 item 6) — and must
+    reproduce the unrolled path's loss (and, where the problem is
+    well-conditioned, its parameter gradients).
+
+    The learned-mest U_FC case checks the LOSS only: at an untrained init
+    its net-level gradient is measurably chaotic — a 1-ulp perturbation of
+    ``color0`` moves the largest gradient leaves by ~35% of the global
+    gradient max (random sigma heads -> near-singular JtWJ; discrete
+    occ/floor flips amplified through 12 GN solves) — so comparing
+    gradient VALUES between any two XLA compilations tests fusion
+    determinism, not our code.  Its semantic gradient parity is covered at
+    the solver level by test_tr_ufc_scan_remat_learned_mest_solver_parity,
+    where conditioning is controlled."""
+    cfg = get_preset("DeepIC") if cfg_name == "DeepIC" else _ufc_learned_mest_cfg()
+    net = LeastSquareTracking(cfg=cfg)
     batch = synthetic_batch(rng)
     tcfg = TrainConfig()
     variables = net.init(
@@ -241,14 +272,98 @@ def test_scan_remat_skips_flax_module_loops(rng, monkeypatch):
         train=True,
     )
 
-    def loss_fn(params, batch_stats):
-        loss, _ = compute_loss(net, tcfg, params, batch_stats, batch)
-        return loss
+    def loss_and_grads():
+        def loss_fn(params, batch_stats):
+            loss, _ = compute_loss(net, tcfg, params, batch_stats, batch)
+            return loss
 
-    l, g = jax.jit(jax.value_and_grad(loss_fn))(
-        variables["params"], variables.get("batch_stats", {})
+        l, g = jax.jit(jax.value_and_grad(loss_fn))(
+            variables["params"], variables.get("batch_stats", {})
+        )
+        return float(l), jax.tree_util.tree_map(np.asarray, g)
+
+    monkeypatch.delenv("DPFT_TRAIN_LOOP", raising=False)
+    l0, g0 = loss_and_grads()
+    monkeypatch.setenv("DPFT_TRAIN_LOOP", "scan_remat")
+    l1, g1 = loss_and_grads()
+
+    assert np.isfinite(l0)
+    assert abs(l0 - l1) < 1e-3 * max(abs(l0), 1e-3), (l0, l1)
+    leaves0 = jax.tree_util.tree_leaves(g0)
+    leaves1 = jax.tree_util.tree_leaves(g1)
+    assert len(leaves0) == len(leaves1)
+    assert all(np.all(np.isfinite(b)) for b in leaves1)
+    if cfg_name == "DeepIC":
+        for a, b in zip(leaves1, leaves0):
+            # scan+remat reorders accumulations vs the Python unroll (same
+            # tolerance rationale as test_scan_remat_loop_gradient_parity)
+            np.testing.assert_allclose(
+                a, b, rtol=0, atol=5e-3 * max(np.abs(b).max(), 1e-6)
+            )
+
+
+def test_tr_ufc_scan_remat_learned_mest_solver_parity(rng, monkeypatch):
+    """Solver-level gradient parity for the learned-mest U_FC loop under
+    scan_remat, with the conditioning controlled (constant sigma, smooth
+    objective): applying a flax MultiScale2w estimator as a pure
+    clone-apply callable inside lax.scan + jax.checkpoint must reproduce
+    the Python unroll's gradients wrt both the estimator parameters and
+    the features (measured delta ~4e-5 rel; tolerance 1e-3)."""
+    from deep_prob_feature_track_tpu.geometry.lie import exp_so3
+    from deep_prob_feature_track_tpu.models.nets import DeepRobustEstimator
+    from deep_prob_feature_track_tpu.solvers import trust_region as TR
+
+    B, C, H, W = 2, 3, 16, 20
+    x0 = jnp.asarray(rng.rand(B, C, H, W).astype(np.float32))
+    x1 = jnp.asarray(rng.rand(B, C, H, W).astype(np.float32))
+    d0 = jnp.asarray(rng.uniform(0.6, 3.0, (B, 1, H, W)).astype(np.float32))
+    d1 = jnp.asarray(rng.uniform(0.6, 3.0, (B, 1, H, W)).astype(np.float32))
+    s0 = jnp.ones((B, 1, H, W), jnp.float32) * 0.5
+    s1 = jnp.ones((B, 1, H, W), jnp.float32) * 0.5
+    K = jnp.asarray(
+        np.tile([[13.0, 13.0, (W - 1) / 2, (H - 1) / 2]], (B, 1)).astype(np.float32)
     )
-    assert np.isfinite(float(l))
+    # non-identity init pose: exactly-identity warps land bitwise on the
+    # frame-edge comparisons and flip under different XLA fusions
+    R0 = exp_so3(jnp.asarray((rng.randn(B, 3) * 0.01).astype(np.float32)))
+    t0 = jnp.asarray((rng.randn(B, 3) * 0.02).astype(np.float32))
+    wp = jnp.ones((B, 1, H, W), jnp.float32) * 0.001
+    mest_mod = DeepRobustEstimator("MultiScale2w")
+    mvars = mest_mod.init(
+        jax.random.PRNGKey(1), jnp.zeros_like(x0), x0, x1, wp, train=True
+    )
+    rest = {k: v for k, v in mvars.items() if k != "params"}
+    solver = TR.DirectSolver(kind="nodamping", direction="forward")
+
+    def run():
+        def loss_fn(params, xx):
+            def mest(res, f0, f1, wprior):
+                out = mest_mod.apply(
+                    {"params": params, **rest}, res, f0, f1, wprior,
+                    train=True, mutable=["batch_stats"],
+                )
+                return out[0]
+
+            (R, t), w, _ = TR.tr_ufc_level(
+                (R0, t0), xx, x1, d0, d1, K, s0, s1, mest, solver,
+                w_prior=wp, max_iter=3, unroll=True,
+            )
+            return jnp.abs(R).mean() * 100 + jnp.abs(t).mean() * 100 + w.mean()
+
+        return jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))(
+            mvars["params"], x0
+        )
+
+    monkeypatch.delenv("DPFT_TRAIN_LOOP", raising=False)
+    la, ga = run()
+    monkeypatch.setenv("DPFT_TRAIN_LOOP", "scan_remat")
+    lb, gb = run()
+    assert abs(float(la) - float(lb)) < 1e-4 * max(abs(float(la)), 1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0,
+            atol=1e-3 * max(float(np.abs(np.asarray(a)).max()), 1e-6),
+        )
 
 
 def test_optimizer_parity_vs_torch():
