@@ -104,6 +104,16 @@ def dump_diagnostics(net, variables, loader, out_dir, n_batches, has_mask=False)
                 os.path.join(bdir, f"residual_l{lvl}.png"),
                 display.image_to_display(res, cmap="jet"),
             )
+        # match dots: the finest level's valid correspondences drawn on the
+        # TARGET frame (headless twin of ref tools/display.py:168-194)
+        coords, ok = diag["matches"][0]
+        coords = np.asarray(coords[0])[:, np.asarray(ok[0])]
+        display.save_image(
+            os.path.join(bdir, "matches.png"),
+            display.visualize_matches_on_image(
+                np.asarray(batch["color1"][0]), coords
+            ),
+        )
     print(f"[evaluate] wrote diagnostics mosaics to {out_dir}")
 
 

@@ -107,6 +107,71 @@ def flow_to_color(flow: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.float32)
 
 
+def visualize_matches_on_image(
+    image: np.ndarray,
+    matches: np.ndarray,
+    radius: Optional[int] = None,
+    color=(1.0, 0.0, 0.0),
+    alpha: float = 0.6,
+) -> np.ndarray:
+    """Alpha-blended match dots on an image.
+
+    Headless numpy port of the reference's cv2 version
+    (ref tools/display.py:168-194): draw a filled disk at every match
+    coordinate, then blend ``alpha * marked + (1-alpha) * original``.
+    The default radius follows the reference's W/64 rule (10 px at VGA).
+
+    :param image: [H,W,3]/[3,H,W]/[H,W] image (any range; normalized)
+    :param matches: [2, N] pixel coordinates, row 0 = u (x), row 1 = v (y)
+    :return: [H,W,3] float image in [0,1]
+    """
+    img = image_to_display(np.asarray(image))
+    H, W = img.shape[:2]
+    if radius is None:
+        radius = max(int(W / 64), 1)
+    m = np.rint(np.asarray(matches, np.float64)).astype(int)
+    marked = img.copy()
+    yy, xx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    disk = (xx * xx + yy * yy) <= radius * radius
+    col = np.asarray(color, np.float32)
+    for i in range(m.shape[1]):
+        u, v = int(m[0, i]), int(m[1, i])
+        if not (0 <= u < W and 0 <= v < H):
+            continue
+        y0, y1 = max(v - radius, 0), min(v + radius + 1, H)
+        x0, x1 = max(u - radius, 0), min(u + radius + 1, W)
+        sub = disk[y0 - (v - radius) : y1 - (v - radius),
+                   x0 - (u - radius) : x1 - (u - radius)]
+        marked[y0:y1, x0:x1][sub] = col
+    return (alpha * marked + (1.0 - alpha) * img).astype(np.float32)
+
+
+def visualize_frames(
+    mat: np.ndarray,
+    max_img: Optional[int] = None,
+    max_channel: Optional[int] = None,
+    step_image: int = 1,
+    step_channel: int = 1,
+) -> np.ndarray:
+    """Batch x channel browser grid of a [B,C,H,W] array.
+
+    Headless equivalent of the reference's cv2-window frame browser
+    (ref tools/display.py:332-357 ``visualise_frames``): one mosaic row
+    per batch item, one panel per (strided) channel; the caller saves the
+    returned image instead of opening a window.
+    """
+    mat = np.asarray(mat)
+    B = mat.shape[0] if max_img is None else min(max_img, mat.shape[0])
+    C = mat.shape[1] if max_channel is None else min(max_channel, mat.shape[1])
+    panels: List[np.ndarray] = []
+    rows = 0
+    for i in range(0, B, step_image):
+        rows += 1
+        for j in range(0, C, step_channel):
+            panels.append(mat[i, j])
+    return create_mosaic(panels, cmap=["jet"] * len(panels), rows=max(rows, 1))
+
+
 def save_image(path: str, img: np.ndarray):
     from PIL import Image
 

@@ -234,6 +234,7 @@ def test_evaluate_cli_save_img(tum_fixture, tmp_path):
         assert f"feat0_l{lvl}.png" in pngs
         assert f"sigma0_l{lvl}.png" in pngs
         assert f"residual_l{lvl}.png" in pngs
+    assert "matches.png" in pngs  # ref tools/display.py:168-194 overlay
 
 
 @pytest.mark.parametrize("tracker", ["Point2Point", "Iter_Point2Plane", "Iter_ColorICP"])

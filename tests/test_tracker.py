@@ -159,6 +159,44 @@ def test_track_diagnostics(rng, preset):
         assert np.all(np.isfinite(res))
         f0 = np.asarray(diag["features0"][lvl])
         assert f0.shape[2:] == (H >> lvl, W >> lvl)
+        coords, ok = diag["matches"][lvl]
+        coords, ok = np.asarray(coords), np.asarray(ok)
+        assert coords.shape[:2] == (B, 2) and ok.shape == (B, coords.shape[2])
+        assert ok.dtype == bool and np.all(np.isfinite(coords))
+        # identity-ish pose on a static grid: valid matches stay in frame
+        lo = coords[:, :, ok.all(axis=0)] if ok.any() else coords[:, :, :0]
+        if lo.size:
+            assert lo[:, 0].min() >= -1 and lo[:, 0].max() <= (W >> lvl)
+            assert lo[:, 1].min() >= -1 and lo[:, 1].max() <= (H >> lvl)
+
+
+def test_visualize_matches_and_frames(rng):
+    """Headless twins of the reference's cv2 match overlay
+    (ref tools/display.py:168-194) and frame browser (:332-357)."""
+    from deep_prob_feature_track_tpu.utils import display
+
+    img = rng.rand(3, 32, 40).astype(np.float32)
+    matches = np.asarray([[5.0, 20.0, 39.0, 200.0], [5.0, 10.0, 31.0, 7.0]])
+    out = display.visualize_matches_on_image(img, matches, radius=2)
+    assert out.shape == (32, 40, 3) and out.dtype == np.float32
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    base = display.image_to_display(img)
+    # dots blend toward red at the in-frame match centers
+    for u, v in ((5, 5), (20, 10), (39, 31)):
+        assert out[v, u, 0] > base[v, u, 0] - 1e-6
+        assert not np.allclose(out[v, u], base[v, u])
+    # the out-of-frame match (u=200) must be ignored, not crash
+    untouched = np.ones((32, 40), bool)
+    for u, v in ((5, 5), (20, 10), (39, 31)):
+        untouched[max(v - 2, 0) : v + 3, max(u - 2, 0) : u + 3] = False
+    # alpha*x + (1-alpha)*x == x only up to f32 rounding
+    np.testing.assert_allclose(out[untouched], base[untouched], atol=1e-6)
+
+    grid = display.visualize_frames(
+        rng.rand(3, 4, 8, 10).astype(np.float32), max_img=2, step_channel=2
+    )
+    # 2 batch rows x 2 strided channels of 8x10 panels
+    assert grid.shape == (2 * 8, 2 * 10, 3)
 
 
 def test_track_diagnostics_ufc(rng):
