@@ -71,8 +71,12 @@ def default_config(kind, H, W, C):
     Mosaic's scoped 16 MB limit scales with blk*W*C lane-expanded
     temporaries, and the in-train compile has less headroom than a
     standalone one (splat blk=512 at W*C=1360 OOM'd in the train step but
-    compiled standalone), so every config here keeps blk*W*C <= 524k —
-    25% under the observed 696k failure point.
+    compiled standalone).  The splat/grads configs therefore keep
+    blk*W*C <= 524k — 25% under the 696k product where the 5-matmul
+    bodies OOM'd.  The eval branch's big-lane config (256, 4) reaches
+    exactly 696,320 at W*C=2720: verified compile-safe in-program on the
+    TPU — its 3-matmul body holds ~2 fewer [blk, W*C] temporaries than
+    the grads body, so the same product fits where grads does not.
     """
     WC = W * C
     if H * WC * 4 > _MAX_PLANE_BYTES:
@@ -99,6 +103,10 @@ def profitable(kind, H, W, C) -> bool:
     small problems (8.0 vs 4.5 ms at the level-1 C=17 shape) and wins on
     big ones (22-23 vs 34 ms at level-0 C=17): gate on total work
     N*W*C >= 20M (N = H*W samples per image at the solver's levels).
+    The 20M crossover is interpolated from those TWO measured points only
+    (6.5M loses, 52M wins); shapes near the boundary (e.g. level-0 C=10
+    at 30.7M) are classified by interpolation, not measurement — probe
+    the boundary region before trusting the gate at a new preset.
     """
     if kind == "splat":
         return (H * W) * (W * C) >= 20_000_000
@@ -397,9 +405,17 @@ def splat_twohot(g_nc, v0, dv, u0, du, *, H, W, C, interpret=False,
     :param dv, du: [B, N] f32 fractional weights in [0, 1]
     :return: [B, H, W, C] f32 operand cotangent
     """
-    d_blk, d_inner = default_config("splat", H, W, C) or (256, 4)
-    blk = d_blk if blk is None else blk
-    inner = d_inner if inner is None else inner
+    if blk is None or inner is None:
+        cfg = default_config("splat", H, W, C)
+        if cfg is None:
+            # refuse to run an uncalibrated config at a shape classified
+            # unsafe — a Mosaic VMEM OOM is a worse failure than this error
+            raise ValueError(
+                f"no measured-safe Pallas splat config for H={H} W={W} C={C}"
+                " (see default_config); pass blk/inner explicitly to force"
+            )
+        blk = cfg[0] if blk is None else blk
+        inner = cfg[1] if inner is None else inner
     return _splat_partitioned(H, W, C, interpret, blk, inner)(
         g_nc, v0, dv, u0, du
     )
@@ -444,11 +460,15 @@ def _call(kernel, n_out, F_flat, v0, dv, u0, du, *, H, W, C, interpret,
 @functools.lru_cache(maxsize=None)
 def _gather_partitioned(H, W, C, interpret, grads, blk=None, inner=None):
     kernel, n_out = (_grads_kernel, 3) if grads else (_kernel, 1)
-    d_blk, d_inner = (
-        default_config("grads" if grads else "eval", H, W, C) or (_BLK, 4)
-    )
-    blk = d_blk if blk is None else blk
-    inner = d_inner if inner is None else inner
+    if blk is None or inner is None:
+        cfg = default_config("grads" if grads else "eval", H, W, C)
+        if cfg is None:
+            raise ValueError(
+                f"no measured-safe Pallas gather config for H={H} W={W} C={C}"
+                f" grads={grads}; pass blk/inner explicitly to force"
+            )
+        blk = cfg[0] if blk is None else blk
+        inner = cfg[1] if inner is None else inner
 
     def impl(F_flat, v0, dv, u0, du):
         outs = _call(kernel, n_out, F_flat, v0, dv, u0, du,

@@ -9,6 +9,12 @@ level-1 shape (W*C=1360, blk=512) exceeds the 16 MB scoped-VMEM limit by
 (blk, inner) fit and how fast they are, so ops/pallas/gather.py's chooser
 can be measured-safe instead of modeled.
 
+TIMING CAVEAT: only the ok/err compile-safety results here are valid.
+The ms numbers use independent-iteration slope timing, which this relay
+under-reports (0.36 ms / negative readings observed) because repeated
+same-input launches overlap; take timings from probe_pallas_shapes2.py,
+whose iterations form a dependent chain.
+
 Run on TPU: python scripts/probe_pallas_shapes.py
 """
 
