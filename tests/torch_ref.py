@@ -25,11 +25,16 @@ def install_reference():
         tr.Normalize = _missing
         tr.Compose = _missing
         tr.ToTensor = _missing
+        ut = types.ModuleType("torchvision.utils")
+        ut.make_grid = _missing
+        ut.save_image = _missing
         tv.transforms = tr
         tv.models = mo
+        tv.utils = ut
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tr
         sys.modules["torchvision.models"] = mo
+        sys.modules["torchvision.utils"] = ut
     import torch
 
     if not hasattr(torch.Tensor, "_dpft_rshift_patch"):
