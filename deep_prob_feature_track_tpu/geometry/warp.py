@@ -173,6 +173,18 @@ def _pallas_interpret() -> bool:
     return os.environ.get("DPFT_PALLAS_INTERPRET") == "1"
 
 
+def _bf16_residuals() -> bool:
+    """DPFT_BF16_RESIDUALS=1: store the gather VJP's within-cell
+    derivative maps (gx/gy, [B,C,N] each — the largest training
+    residuals, 3x167 MB at 480x640 B=64 per the round-2 XLA buffer dump)
+    in bfloat16.  They only feed the COORDINATE cotangents
+    ``g_u = sum_c g * gx``, so the ~3e-3 relative rounding perturbs the
+    pose-gradient path, not the feature/operand gradients; gradient
+    parity under the flag is tested in
+    tests/test_warp.py::test_bf16_residuals_gradient_parity."""
+    return os.environ.get("DPFT_BF16_RESIDUALS") == "1"
+
+
 def _twohot_enabled(shape, dtype, kind="eval") -> bool:
     """Gate for the Pallas two-hot kernels (ops/pallas/gather.py).
 
@@ -296,10 +308,15 @@ def _gather_fast_vjp(shape, dtype_name):
             gy = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - du) + (
                 corners[:, 1, 1] - corners[:, 0, 1]
             ) * du
+        if _bf16_residuals():
+            gx = gx.astype(jnp.bfloat16)
+            gy = gy.astype(jnp.bfloat16)
         return out, (gx, gy, u, v)
 
     def bwd(res, g):
         gx_map, gy_map, u, v = res
+        gx_map = gx_map.astype(g.dtype)
+        gy_map = gy_map.astype(g.dtype)
         starts, du, dv, uf, vf = _corner_weights(shape, u, v)
 
         # d out / d coordinates: contract the cotangent with the

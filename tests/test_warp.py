@@ -196,3 +196,32 @@ def test_warp_images_helper(rng):
     pose = (jnp.broadcast_to(jnp.eye(3), (B, 3, 3)), jnp.zeros((B, 3)))
     img_r, invD_r = warp_images(invD, pose, img1, invD, K)
     np.testing.assert_allclose(np.asarray(img_r), np.asarray(img1), atol=1e-5)
+
+
+def test_bf16_residuals_gradient_parity(rng, monkeypatch):
+    """DPFT_BF16_RESIDUALS=1 halves the gather VJP's gx/gy residual bytes
+    (the dominant training buffers at 480x640) by storing them bf16.
+    Only the COORDINATE cotangents flow through them, so operand grads
+    must stay exact and coordinate grads within bf16 rounding (~4e-3
+    relative of the gradient scale)."""
+    import jax
+
+    B, C, H, W = 2, 3, 9, 11
+    F = jnp.asarray(rng.randn(B, C, H, W).astype(np.float32))
+    u = jnp.asarray(rng.uniform(-1.0, W, (B, 1, 4, 5)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-1.0, H, (B, 1, 4, 5)).astype(np.float32))
+    t = jnp.asarray(rng.randn(B, C, 4, 5).astype(np.float32))
+
+    def loss(F_, u_, v_):
+        return jnp.sum(warp.warp_features(F_, u_, v_) * t)
+
+    monkeypatch.delenv("DPFT_BF16_RESIDUALS", raising=False)
+    g0 = jax.grad(loss, argnums=(0, 1, 2))(F, u, v)
+    monkeypatch.setenv("DPFT_BF16_RESIDUALS", "1")
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(F, u, v)
+
+    # operand gradient path does not touch gx/gy: exact
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]), atol=0)
+    for a, b in zip(g1[1:], g0[1:]):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=0, atol=4e-3 * max(np.abs(b).max(), 1e-6))
