@@ -229,17 +229,75 @@ def _twohot_enabled(shape, dtype, kind="eval") -> bool:
         return False
 
 
+def _sample_hw(u):
+    """The (Hs, Ws) sample grid of a coordinate map, or None if the call
+    has no 2-D spatial structure (tile-slab locality needs one)."""
+    if u.ndim >= 3 and u.shape[-1] > 1 and u.shape[-2] > 1:
+        lead = 1
+        for d in u.shape[1:-2]:
+            lead *= d
+        if lead == 1:
+            return int(u.shape[-2]), int(u.shape[-1])
+    return None
+
+
+def _tiles_enabled(shape, sample_hw, dtype, kind) -> bool:
+    """Gate for the tile-slab kernel (ops/pallas/gather_tiles.py):
+    VGA-scale shapes where the full-plane two-hot family is gated off.
+    ``DPFT_PALLAS_TILES=0/1/auto`` (default auto = TPU backends only,
+    at supported shapes; dispatch order puts the full-plane kernel
+    first where it applies)."""
+    if sample_hw is None:
+        return False
+    flag = os.environ.get("DPFT_PALLAS_TILES", "auto")
+    if flag == "0":
+        return False
+    from ..ops.pallas.gather_tiles import supported
+
+    if not supported(shape, (shape[0],) + sample_hw, dtype, kind):
+        return False
+    if _pallas_interpret() or flag == "1":
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _tiles_args(operand, u, v, sample_hw):
+    """Rebuild the tile kernel's [B, Hs, Ws] corner-start/weight maps
+    from the shared :func:`_corner_weights` prep."""
+    B = operand.shape[0]
+    Hs, Ws = sample_hw
+    starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
+    return (
+        starts[..., 0].reshape(B, Hs, Ws),
+        dv[:, 0, :].reshape(B, Hs, Ws),
+        starts[..., 1].reshape(B, Hs, Ws),
+        du[:, 0, :].reshape(B, Hs, Ws),
+    )
+
+
 def _gather_fast_primal(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     B, H, W, C = operand.shape
-    starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
     if _twohot_enabled(operand.shape, operand.dtype, "eval"):
         from ..ops.pallas.gather import gather_twohot
 
+        starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
         return gather_twohot(
             operand.reshape(B, H, W * C),
             starts[..., 0], dv[:, 0, :], starts[..., 1], du[:, 0, :],
             H=H, W=W, C=C, interpret=_pallas_interpret(),
         )
+    hw = _sample_hw(u)
+    if _tiles_enabled(operand.shape, hw, operand.dtype, "eval"):
+        from ..ops.pallas.gather_tiles import gather_tiles
+
+        v0, dvs, u0, dus = _tiles_args(operand, u, v, hw)
+        return gather_tiles(
+            operand, v0, dvs, u0, dus, interpret=_pallas_interpret()
+        )
+    starts, du, dv, _, _ = _corner_weights(operand.shape, u, v)
     return _blend(_gather_corners(operand, starts), du, dv)
 
 
@@ -291,6 +349,7 @@ def _gather_fast_vjp(shape, dtype_name):
         # (docs/PERF.md round 2) — and folding the corner differences into
         # [B,C,N] maps halves the residual bytes vs [B,2,2,C,N] corners
         starts, du, dv, _, _ = _corner_weights(shape, u, v)
+        hw = _sample_hw(u)
         if _twohot_enabled(shape, operand.dtype, "train"):
             from ..ops.pallas.gather import gather_twohot_grads
 
@@ -298,6 +357,13 @@ def _gather_fast_vjp(shape, dtype_name):
                 operand.reshape(B, H, W * C),
                 starts[..., 0], dv[:, 0, :], starts[..., 1], du[:, 0, :],
                 H=H, W=W, C=C, interpret=_pallas_interpret(),
+            )
+        elif _tiles_enabled(shape, hw, operand.dtype, "grads"):
+            from ..ops.pallas.gather_tiles import gather_tiles_grads
+
+            v0t, dvt, u0t, dut = _tiles_args(operand, u, v, hw)
+            out, gx, gy = gather_tiles_grads(
+                operand, v0t, dvt, u0t, dut, interpret=_pallas_interpret()
             )
         else:
             corners = _gather_corners(operand, starts)

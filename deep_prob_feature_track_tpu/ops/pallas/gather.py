@@ -54,13 +54,15 @@ _BLK = 256
 _INNER = 8
 # keep the resident feature plane + the [blk, W*C] intermediates in VMEM
 _MAX_PLANE_BYTES = 4 * 1024 * 1024
-# probe-calibrated lane caps (scripts/probe_pallas_shapes2.py, v5e,
-# 2026-08-18): the eval/splat kernels are compile-safe and profitable up
-# to W*C=2720 (the level-0 C=17 train shape) with the shrunken blocks of
-# default_config; the 5-matmul grads body loses to the XLA gather above
-# 2048 lanes (33.1 vs 32.3 ms at W*C=2720), so it keeps the lower cap
-_MAX_LANES = 2720
-_MAX_LANES_GRADS = 2048
+# probe-calibrated lane caps (scripts/probe_pallas_shapes{2,3}.py, v5e,
+# 2026-08-18/19).  Probe 3 extended the 2048-4096 band: eval (128,8)
+# wins 22.2 vs 35.0 ms at W*C=3840 and (128,4) 24.8 vs 34.8 at 4000;
+# splat (128,8) wins 28.3 vs 50.5 at 3840 but only ties XLA at 4000
+# with the configs that fit; grads at 2720 lanes flips to a narrow win
+# at (128,8) (31.8 vs 32.5 — the 256/4 config measured in probe 2 lost)
+_MAX_LANES = 4000
+_MAX_LANES_GRADS = 2720
+_MAX_LANES_SPLAT = 3840
 
 
 def default_config(kind, H, W, C):
@@ -84,13 +86,19 @@ def default_config(kind, H, W, C):
     if kind == "eval":
         if WC <= 2048:
             return (256, 8)
-        return (256, 4) if WC <= _MAX_LANES else None
+        if WC <= 2720:
+            return (256, 4)
+        if WC <= 3840:
+            return (128, 8)
+        return (128, 4) if WC <= _MAX_LANES else None
     if kind in ("train", "grads"):
-        return (256, 4) if WC <= _MAX_LANES_GRADS else None
+        if WC <= 2048:
+            return (256, 4)
+        return (128, 8) if WC <= _MAX_LANES_GRADS else None
     if kind == "splat":
         if WC <= 2048:
             return (256, 8)
-        return (128, 8) if WC <= _MAX_LANES else None
+        return (128, 8) if WC <= _MAX_LANES_SPLAT else None
     raise ValueError(kind)
 
 
