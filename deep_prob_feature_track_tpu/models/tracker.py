@@ -157,8 +157,10 @@ class LeastSquareTracking(nn.Module):
         loops stay scannable (DPFT_TRAIN_LOOP=scan_remat) for every track.
 
         BatchNorm caveats: batch_stats UPDATES from the pure calls are
-        dropped (the train path re-applies the bound module once after the
-        loop to register them — see tr_ufc_level(register_stats=...)).
+        dropped (the train path re-applies the bound module once PER
+        ITERATION after the loop, on the stacked per-iteration residuals,
+        reproducing the reference's compounded EMA — see
+        tr_ufc_level(register_stats=...)).
         Returns None while initializing: parameters do not exist yet, and
         the unrolled bound path is what creates them.
         """

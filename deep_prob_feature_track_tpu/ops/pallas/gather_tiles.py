@@ -91,11 +91,12 @@ def default_tile_config(kind, H, W, C, Hs, Ws):
         return None
     if H < cfg.band_v or W < cfg.band_u:
         return None
-    # the quantized start grid must let the band reach the bottom/right
-    # image edge, or edge tiles permanently trip the fallback
-    if ((H - cfg.band_v) // 8) * 8 + cfg.band_v < H - 1:
+    # the quantized start grid must let the band COVER the last row/column
+    # index (start + band >= size, so local corner v0+1 <= band_v-1 fits),
+    # or edge tiles permanently trip the fallback
+    if ((H - cfg.band_v) // 8) * 8 + cfg.band_v < H:
         return None
-    if ((W - cfg.band_u) // cfg.q) * cfg.q + cfg.band_u < W - 1:
+    if ((W - cfg.band_u) // cfg.q) * cfg.q + cfg.band_u < W:
         return None
     # VMEM gate on the blk*lanes product, mirroring gather.py's probe
     # calibration of the same matmul bodies (524k elements safe for the

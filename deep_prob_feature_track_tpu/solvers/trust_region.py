@@ -529,11 +529,20 @@ def tr_ufc_level(
     :param loop_pure: whether ``mest_loop_fn`` is safe inside lax control
         flow.  False (a bound flax module with parameters) forces the
         Python unroll regardless of ``unroll``/DPFT_TRAIN_LOOP.
-    :param register_stats: re-apply the BOUND ``mest_fn`` once after the
-        loop on the final iteration's residual.  A pure in-loop estimator
-        drops its BatchNorm batch_stats updates; this single call restores
-        the unrolled path's "last call wins" running-statistics semantics
-        with an identical input (hence identical weights).
+    :param register_stats: re-apply the BOUND ``mest_fn`` after the loop
+        on EVERY iteration's residual, in iteration order.  A pure
+        in-loop estimator drops its BatchNorm batch_stats updates; the
+        reference applies the bound M-estimator once per GN iteration
+        (ref algorithms.py:1066) so the running-stat EMA compounds
+        ``max_iter`` times (``ra = m*ra + (1-m)*stat_i`` sequentially) —
+        flax mutable collections are live within an apply, so the
+        sequential bound re-applies here reproduce that compounded
+        trajectory exactly.  The final call's input equals the final
+        in-loop input, so the returned weights (and their gradient path)
+        are identical to the pure-twin loop's.  Costs ``max_iter`` extra
+        estimator applies plus a stacked ``[max_iter, B, C, H, W]``
+        residual buffer, so it is gated to training with a learned
+        estimator (tracker.py).
     """
     from ..ops.image import sobel_gradients
 
@@ -550,8 +559,8 @@ def tr_ufc_level(
     if mest_loop_fn is None:
         mest_loop_fn = mest_fn
 
-    def gn_iteration(_, carry):
-        R, t, _, _, _ = carry
+    def gn_iteration(i, carry):
+        R, t, _, _, wres_acc = carry
         p = (R, t)
         u, v, dpt_r, depth_valid, u6, v6 = _warp_forward_depth(dpt0, p, K)
         warped = W.warp_operand(ufc_op, ufc_sizes, u, v)
@@ -578,21 +587,34 @@ def tr_ufc_level(
         JtR = jtr_only(fac, out.weighted_res, weights=weights)
         H6 = lev_mar_damp(JtWJ)
         R_new, t_new = _update(solver, H6, JtR, p)
-        return (R_new, t_new, weights, JtWJ, out.weighted_res)
+        if register_stats:
+            wres_acc = jax.lax.dynamic_update_index_in_dim(
+                wres_acc, out.weighted_res, i, 0
+            )
+        else:
+            wres_acc = out.weighted_res
+        return (R_new, t_new, weights, JtWJ, wres_acc)
 
     w0 = mest_fn(jnp.zeros_like(x0), x0, x1, w_prior)
     jtj0 = jnp.zeros((B, 6, 6), dtype=jnp.result_type(x0, sigma0, K))
-    carry = (pose[0], pose[1], w0, jtj0, jnp.zeros_like(x0))
+    wres0 = (
+        jnp.zeros((max_iter,) + x0.shape, x0.dtype)
+        if register_stats
+        else jnp.zeros_like(x0)
+    )
+    carry = (pose[0], pose[1], w0, jtj0, wres0)
     body_ok = loop_pure and solver.loop_safe
-    R, t, weights, JtWJ, last_wres = run_gn_iterations(
+    R, t, weights, JtWJ, wres_all = run_gn_iterations(
         gn_iteration, carry, max_iter, unroll or not body_ok, scan_ok=body_ok
     )
     if register_stats:
-        # same input as the final in-loop call -> identical weights; the
-        # bound apply additionally sows the BatchNorm batch_stats update
-        # the pure in-loop estimator dropped ("last call wins" parity with
-        # the unrolled path)
-        weights = mest_fn(last_wres, x0, x1, w_prior)
+        # bound re-applies, one per iteration IN ORDER: each sows its
+        # BatchNorm batch_stats update into the live mutable collection,
+        # compounding the EMA exactly like the reference's one-bound-call-
+        # per-GN-iteration (algorithms.py:1066); the last input equals the
+        # final in-loop input, so `weights` is unchanged vs the pure loop
+        for i in range(max_iter):
+            weights = mest_fn(wres_all[i], x0, x1, w_prior)
     return (R, t), weights, JtWJ
 
 

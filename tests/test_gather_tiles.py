@@ -159,7 +159,10 @@ def test_vjp_dispatch_through_warp(rng, monkeypatch):
     monkeypatch.setenv("DPFT_PALLAS_TILES", "0")
     ref = run()
     assert warp._sample_hw(u) == (H, W)
-    monkeypatch.setenv("DPFT_PALLAS_TILES", "auto")
+    # TILES=1 (forced): GATHER=0 keeps the full-plane kernel out of the
+    # dispatch order, and since round 4 it also gates the tile family in
+    # auto mode (see test_gather_kill_switch_gates_tiles)
+    monkeypatch.setenv("DPFT_PALLAS_TILES", "1")
     monkeypatch.setenv("DPFT_PALLAS_INTERPRET", "1")
     assert warp._tiles_enabled((B, H, W, C), (H, W), jnp.float32, "eval")
     got = run()
@@ -192,7 +195,7 @@ def test_tiles_partition_over_batch_mesh(rng, monkeypatch):
     monkeypatch.setenv("DPFT_PALLAS_TILES", "0")
     ref = np.asarray(jax.jit(fn)(operand, u, v))
 
-    monkeypatch.setenv("DPFT_PALLAS_TILES", "auto")
+    monkeypatch.setenv("DPFT_PALLAS_TILES", "1")
     monkeypatch.setenv("DPFT_PALLAS_INTERPRET", "1")
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("dp",))
     batch = lambda x: jax.device_put(
@@ -210,3 +213,83 @@ def test_default_config_gating():
     assert default_tile_config("grads", 480, 640, 17, 480, 640) is not None
     # tiny pyramid level: not worth a tiled launch
     assert default_tile_config("eval", 15, 20, 17, 15, 20) is None
+
+
+def test_edge_reach_gate_covers_last_row():
+    """Round-3 advisor: the quantized start grid must let the band COVER
+    index H-1 / W-1 (start + band >= size), not merely reach H-2 — at
+    shapes with (H - band_v) % 8 == 1 every bottom-edge tile would
+    otherwise permanently trip the fallback while the kernel stays
+    auto-enabled."""
+    # (481-64)%8 = 1: max start 416, 416+64 = 480 < 481 -> reject
+    assert default_tile_config("eval", 481, 640, 17, 481, 640) is None
+    # 480 % 8 == 0: band covers row 479 exactly -> accept
+    cfg = default_tile_config("eval", 480, 640, 17, 480, 640)
+    assert cfg is not None
+    assert ((480 - cfg.band_v) // 8) * 8 + cfg.band_v >= 480
+
+
+def test_gather_kill_switch_gates_tiles(monkeypatch):
+    """DPFT_PALLAS_GATHER=0 (the 'use the XLA paths' switch H-sharded
+    spatial runs set) must gate the tile family too in auto mode — its
+    batch-only custom_partitioning would re-gather a spatially-sharded
+    feature plane (VERDICT round-3 weak #3).  An explicit
+    DPFT_PALLAS_TILES=1 still forces the kernel on."""
+    from deep_prob_feature_track_tpu.geometry import warp
+
+    shape, hw = (2, 72, 96, 5), (72, 96)
+    monkeypatch.setenv("DPFT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("DPFT_PALLAS_TILES", "auto")
+    monkeypatch.delenv("DPFT_PALLAS_GATHER", raising=False)
+    assert warp._tiles_enabled(shape, hw, jnp.float32, "eval")
+    monkeypatch.setenv("DPFT_PALLAS_GATHER", "0")
+    assert not warp._tiles_enabled(shape, hw, jnp.float32, "eval")
+    assert not warp._tiles_enabled(shape, hw, jnp.float32, "grads")
+    # per-site variants gate their matching tile site
+    monkeypatch.delenv("DPFT_PALLAS_GATHER", raising=False)
+    monkeypatch.setenv("DPFT_PALLAS_GATHER_TRAIN", "0")
+    assert not warp._tiles_enabled(shape, hw, jnp.float32, "grads")
+    assert warp._tiles_enabled(shape, hw, jnp.float32, "eval")
+    # explicit force wins over the kill-switch
+    monkeypatch.setenv("DPFT_PALLAS_GATHER", "0")
+    monkeypatch.setenv("DPFT_PALLAS_TILES", "1")
+    assert warp._tiles_enabled(shape, hw, jnp.float32, "grads")
+
+
+@pytest.fixture
+def shipping_data(rng):
+    """A fixture sized for the SHIPPING default config (16/16/64/64):
+    72x96 satisfies the band-reach quantization for C=5 (Cp=8, q=16)."""
+    B, H, W, C = 2, 72, 96, 5
+    assert default_tile_config("eval", H, W, C, H, W) == TileConfig(
+        16, 16, 64, 64, 8, 8
+    )
+    operand = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    coords = make_coords(rng, B, H, W, H, W)
+    return operand, coords
+
+
+def test_shipping_config_eval_parity(shipping_data):
+    """VERDICT round-3 item 5: the default TileConfig TPU users actually
+    get must pass the interpret-mode parity tests, not just the bespoke
+    tiny CFG (cfg=None routes through default_tile_config)."""
+    operand, (v0, dv, u0, du) = shipping_data
+    out = gather_tiles(operand, v0, dv, u0, du, interpret=True, cfg=None)
+    ref = _xla_fallback(operand, v0, dv, u0, du, False)[0]
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4 * scale
+    )
+
+
+def test_shipping_config_grads_parity(shipping_data):
+    operand, (v0, dv, u0, du) = shipping_data
+    out, gx, gy = gather_tiles_grads(
+        operand, v0, dv, u0, du, interpret=True, cfg=None
+    )
+    ref, rgx, rgy = _xla_fallback(operand, v0, dv, u0, du, True)
+    scale = float(jnp.max(jnp.abs(ref)))
+    for a, b in ((out, ref), (gx, rgx), (gy, rgy)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=4e-4 * scale
+        )
