@@ -13,7 +13,8 @@ smooth function of pose and depth; the spread within a small output tile
 is bounded by the inter-frame motion plus parallax).  Samples are
 reordered into th x tw output tiles, and each tile contracts against
 only a [band_v, band_u*Cp] slab of the feature plane, DMA'd from HBM at
-a per-tile dynamic offset (scalar-prefetched).  Per-sample cost drops
+a per-tile dynamic offset (read from a per-step SMEM block).  Per-sample
+cost drops
 from H*W*C to band_v*band_u*Cp — independent of resolution — which is
 what makes the two-hot MXU formulation win at VGA.
 
@@ -137,14 +138,23 @@ def _reduce_band(Z, *, band_u, Cp, blk):
     return Z[:, 0:Cp]
 
 
-def _mk_dma(starts_ref, f_ref, slab, sem, b, t, slot, *, band_v, band_u, Cp):
+def _mk_dma(starts_ref, f_ref, slab, sem, b, j, slot, *, band_v, band_u, Cp):
     # starts are stored PRE-QUANTIZED (v_start/8, u_start/q) and multiplied
     # back here: Mosaic requires dynamic DMA offsets to be PROVABLY
     # aligned — a raw scalar (even one whose runtime value is aligned)
     # crashes the TPU compiler, while `s * 8` / `s * 128` carry the proof
-    # (bisected on v5e, docs/PERF.md round 3; q * Cp == 128 exactly)
-    vs = starts_ref[b, t, 0] * 8
-    ls = starts_ref[b, t, 1] * 128
+    # (bisected on v5e, docs/PERF.md round 3; q * Cp == 128 exactly).
+    #
+    # starts_ref is a BLOCKED SMEM operand holding only this grid step's
+    # ``inner`` tile starts ([1, 1, inner, 2] i32, ~64 B; the trailing
+    # (inner, 2) block dims equal the array dims, satisfying the TPU
+    # block-shape rule), NOT a scalar-prefetched whole array: the
+    # prefetch form keeps [B, Kt, 2] resident in SMEM, and the TPU
+    # compiler dies (opaque exit code 1) once that crosses ~16 KB —
+    # every VGA-scale shape (round-4 bisect, scripts/bisect_tiles4.py:
+    # pass at 15.6 KB, fail at 16.2 KB).
+    vs = starts_ref[0, 0, j, 0] * 8
+    ls = starts_ref[0, 0, j, 1] * 128
     return pltpu.make_async_copy(
         f_ref.at[b, pl.ds(vs, band_v), pl.ds(ls, band_u * Cp)],
         slab.at[slot],
@@ -157,8 +167,8 @@ def _kernel(starts_ref, aux_ref, f_ref, *rest, grads, band_v, band_u, Cp,
     """Grid (B, Kout); ``inner`` tiles per step, double-buffered slab DMA.
 
     aux carries LOCAL corner starts (v0 - v_start, u0 - u_start) so the
-    kernel math never needs the global offsets; the scalar-prefetched
-    starts feed only the DMA engine.
+    kernel math never needs the global offsets; the per-step SMEM starts
+    block feeds only the DMA engine.
     """
     if grads:
         o_ref, gx_ref, gy_ref, slab, sem = rest
@@ -166,7 +176,6 @@ def _kernel(starts_ref, aux_ref, f_ref, *rest, grads, band_v, band_u, Cp,
         o_ref, slab, sem = rest
         gx_ref = gy_ref = None
     b = pl.program_id(0)
-    k = pl.program_id(1)
     dma = functools.partial(
         _mk_dma, starts_ref, f_ref, slab, sem, b,
         band_v=band_v, band_u=band_u, Cp=Cp,
@@ -176,12 +185,12 @@ def _kernel(starts_ref, aux_ref, f_ref, *rest, grads, band_v, band_u, Cp,
     ih = jax.lax.broadcasted_iota(jnp.int32, (blk, band_v), 1)
     dn = (((1,), (0,)), ((), ()))
 
-    dma(k * inner, 0).start()
+    dma(0, 0).start()
     for j in range(inner):
         slot = j % 2
         if j + 1 < inner:
-            dma(k * inner + j + 1, (j + 1) % 2).start()
-        dma(k * inner + j, slot).wait()
+            dma(j + 1, (j + 1) % 2).start()
+        dma(j, slot).wait()
 
         F = slab[slot]  # [band_v, band_u*Cp] f32
         # hi/lo bf16 split (in-kernel on purpose: the XLA TPU pipeline
@@ -253,31 +262,34 @@ def _launch(F_pad, aux, starts, cfg, *, B, H, W, C, Hs, Ws, Kt,
         aux = jnp.pad(aux, ((0, 0), (0, Kpad - Kt), (0, 0), (0, 0)))
         starts = jnp.pad(starts, ((0, 0), (0, Kpad - Kt), (0, 0)))
     aux = aux.reshape(B, Kout, inner, blk, 4)
+    # per-step SMEM block of this step's `inner` tile starts: a
+    # scalar-prefetched whole array dies past ~16 KB of SMEM (round-4
+    # bisect, see _mk_dma) — blocking keeps it at inner*2 i32 per step
+    # and removes the tile-count ceiling entirely
+    starts = starts.reshape(B, Kout, inner, 2)
 
     n_out = 3 if grads else 1
     out_shape = [jax.ShapeDtypeStruct((B, C, Kpad * blk), jnp.float32)] * n_out
-    out_spec = pl.BlockSpec((1, C, inner * blk), lambda b, k, s: (b, 0, k))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, Kout),
-        in_specs=[
-            pl.BlockSpec((1, 1, inner, blk, 4), lambda b, k, s: (b, k, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[out_spec] * n_out,
-        scratch_shapes=[
-            pltpu.VMEM((2, cfg.band_v, cfg.band_u * cfg.Cp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+    out_spec = pl.BlockSpec((1, C, inner * blk), lambda b, k: (b, 0, k))
     outs = pl.pallas_call(
         functools.partial(
             _kernel, grads=grads, band_v=cfg.band_v, band_u=cfg.band_u,
             Cp=cfg.Cp, blk=blk, inner=inner,
         ),
+        grid=(B, Kout),
+        in_specs=[
+            pl.BlockSpec((1, 1, inner, 2), lambda b, k: (b, k, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, inner, blk, 4), lambda b, k: (b, k, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_shape=out_shape,
-        grid_spec=grid_spec,
+        out_specs=[out_spec] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((2, cfg.band_v, cfg.band_u * cfg.Cp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
     )(starts, aux, F_pad)
     return [o[:, :, : Kt * blk] for o in outs]
@@ -336,9 +348,23 @@ def _prepare(operand, v0, dv, u0, du, cfg):
     return F_pad, aux, starts, ok, (Hp, Wp, v0t.shape[1])
 
 
+_FALLBACK_BLK = 32768  # samples per fallback scan block (memory bound)
+
+
 def _xla_fallback(operand, v0, dv, u0, du, grads):
     """The plain fused-gather path on the original raster-ordered samples
-    (geometry/warp.py semantics), used when a tile exceeds its band."""
+    (geometry/warp.py semantics), used when a tile exceeds its band.
+
+    Blocked over samples with ``lax.scan`` above ``_FALLBACK_BLK``: both
+    branches of the in-band ``lax.cond`` are compiled and XLA reserves
+    peak memory = max over branches, so a one-shot fallback would keep
+    the full corner tensor alive in the budget — at VGA train shapes the
+    remat body re-materializes it tile-padded 7.5x (f32[B*N,2,2,17] with
+    C on lanes), the diagnosed cause of the round-3 B=8 OOM
+    (BENCH_VGA_r03.json).  Blocking caps the corner temp at
+    ``[B,2,2,C,blk]`` (~71 MB at B=8 C=17) with identical per-sample
+    math; the fallback only ever *executes* on out-of-band calls, where
+    the serialization is an acceptable price."""
     from ...geometry import warp as W_
 
     B, H, W, C = operand.shape
@@ -348,17 +374,42 @@ def _xla_fallback(operand, v0, dv, u0, du, grads):
     )
     duB = du.reshape(B, 1, N)
     dvB = dv.reshape(B, 1, N)
-    corners = W_._gather_corners(operand, starts)
-    out = W_._blend(corners, duB, dvB)
-    if not grads:
-        return [out]
-    gx = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dvB) + (
-        corners[:, 1, 1] - corners[:, 1, 0]
-    ) * dvB
-    gy = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - duB) + (
-        corners[:, 1, 1] - corners[:, 0, 1]
-    ) * duB
-    return [out, gx, gy]
+
+    def block(starts_b, du_b, dv_b):
+        corners = W_._gather_corners(operand, starts_b)
+        out = W_._blend(corners, du_b, dv_b)
+        if not grads:
+            return (out,)
+        gx = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dv_b) + (
+            corners[:, 1, 1] - corners[:, 1, 0]
+        ) * dv_b
+        gy = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - du_b) + (
+            corners[:, 1, 1] - corners[:, 0, 1]
+        ) * du_b
+        return (out, gx, gy)
+
+    blk = _FALLBACK_BLK
+    if N <= blk:
+        return list(block(starts, duB, dvB))
+    nblk = -(-N // blk)
+    pad = nblk * blk - N
+    if pad:
+        starts = jnp.pad(starts, ((0, 0), (0, pad), (0, 0)))
+        duB = jnp.pad(duB, ((0, 0), (0, 0), (0, pad)))
+        dvB = jnp.pad(dvB, ((0, 0), (0, 0), (0, pad)))
+    xs = (
+        jnp.moveaxis(starts.reshape(B, nblk, blk, 2), 1, 0),
+        jnp.moveaxis(duB.reshape(B, 1, nblk, blk), 2, 0),
+        jnp.moveaxis(dvB.reshape(B, 1, nblk, blk), 2, 0),
+    )
+
+    def body(_, x):
+        return None, block(*x)
+
+    _, ys = jax.lax.scan(body, None, xs)  # each [nblk, B, C, blk]
+    return [
+        jnp.moveaxis(y, 0, 2).reshape(B, C, nblk * blk)[:, :, :N] for y in ys
+    ]
 
 
 def _gather_tiles_impl(operand, v0, dv, u0, du, *, grads, interpret, cfg):

@@ -105,13 +105,38 @@ def main():
         lvl = f"{H}x{W}_c{C}_b{B}"
         feed_F = lambda F, out: F + out.ravel()[0] * 1e-30
 
-        def xla_eval(F, a):
+        def one_shot(F, a, grads):
+            # the REAL competing XLA path (warp.py's fused one-shot corner
+            # gather), not GT._xla_fallback — the fallback is scanned over
+            # sample blocks since round 4 (memory fix) and would overstate
+            # the XLA baseline's time
+            from deep_prob_feature_track_tpu.geometry import warp as W_
+
             v0_, dv_, u0_, du_ = a
-            return GT._xla_fallback(F, v0_, dv_, u0_, du_, False)[0]
+            Bq, Hq, Wq, Cq = F.shape
+            Nq = v0_.shape[1] * v0_.shape[2]
+            starts = jnp.stack(
+                [v0_.reshape(Bq, Nq), u0_.reshape(Bq, Nq)], axis=-1
+            )
+            duB = du_.reshape(Bq, 1, Nq)
+            dvB = dv_.reshape(Bq, 1, Nq)
+            corners = W_._gather_corners(F, starts)
+            out = W_._blend(corners, duB, dvB)
+            if not grads:
+                return [out]
+            gx = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dvB) + (
+                corners[:, 1, 1] - corners[:, 1, 0]
+            ) * dvB
+            gy = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - duB) + (
+                corners[:, 1, 1] - corners[:, 0, 1]
+            ) * duB
+            return [out, gx, gy]
+
+        def xla_eval(F, a):
+            return one_shot(F, a, False)[0]
 
         def xla_grads(F, a):
-            v0_, dv_, u0_, du_ = a
-            o, gx, gy = GT._xla_fallback(F, v0_, dv_, u0_, du_, True)
+            o, gx, gy = one_shot(F, a, True)
             return o + gx + gy
 
         def pl_eval(F, a, cfg=None):
