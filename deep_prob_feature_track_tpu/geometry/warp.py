@@ -292,6 +292,58 @@ def _tiles_args(operand, u, v, sample_hw):
     )
 
 
+_GRADS_BLK = 32768  # samples per corner-gather block on the training path
+
+
+def _corner_grads_oneshot(operand, starts, du, dv):
+    """Corner gather + blend + within-cell derivative maps (one shot)."""
+    corners = _gather_corners(operand, starts)
+    out = _blend(corners, du, dv)
+    gx = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dv) + (
+        corners[:, 1, 1] - corners[:, 1, 0]
+    ) * dv  # [B,C,N]
+    gy = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - du) + (
+        corners[:, 1, 1] - corners[:, 0, 1]
+    ) * du
+    return out, gx, gy
+
+
+def _corner_grads(operand, starts, du, dv):
+    """:func:`_corner_grads_oneshot`, blocked over samples above
+    ``_GRADS_BLK``: the one-shot corner tensor is the dominant training
+    temporary at VGA — the scan_remat backward re-materializes it as
+    ``f32[B*N,2,2,C]`` with C on the 128-lane axis (7.5x tile padding),
+    the diagnosed cause of the round-3 B=8 OOM (BENCH_VGA_r03.json).
+    ``lax.scan`` caps it at the block size with identical per-sample math;
+    level-0 train shapes (N=19200) stay on the one-shot path."""
+    B = operand.shape[0]
+    N = starts.shape[1]
+    if N <= _GRADS_BLK:
+        return _corner_grads_oneshot(operand, starts, du, dv)
+    blk = _GRADS_BLK
+    nblk = -(-N // blk)
+    pad = nblk * blk - N
+    if pad:
+        # padding samples reuse index 0 with zero weights; their outputs
+        # are sliced off below
+        starts = jnp.pad(starts, ((0, 0), (0, pad), (0, 0)))
+        du = jnp.pad(du, ((0, 0), (0, 0), (0, pad)))
+        dv = jnp.pad(dv, ((0, 0), (0, 0), (0, pad)))
+    xs = (
+        jnp.moveaxis(starts.reshape(B, nblk, blk, 2), 1, 0),
+        jnp.moveaxis(du.reshape(B, 1, nblk, blk), 2, 0),
+        jnp.moveaxis(dv.reshape(B, 1, nblk, blk), 2, 0),
+    )
+
+    def body(_, x):
+        return None, _corner_grads_oneshot(operand, *x)
+
+    _, ys = jax.lax.scan(body, None, xs)  # each [nblk, B, C, blk]
+    return tuple(
+        jnp.moveaxis(y, 0, 2).reshape(B, -1, nblk * blk)[:, :, :N] for y in ys
+    )
+
+
 def _gather_fast_primal(operand: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     B, H, W, C = operand.shape
     if _twohot_enabled(operand.shape, operand.dtype, "eval"):
@@ -381,14 +433,7 @@ def _gather_fast_vjp(shape, dtype_name):
             )
         else:
             starts, du, dv, _, _ = _corner_weights(shape, u, v)
-            corners = _gather_corners(operand, starts)
-            out = _blend(corners, du, dv)
-            gx = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dv) + (
-                corners[:, 1, 1] - corners[:, 1, 0]
-            ) * dv  # [B,C,N]
-            gy = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - du) + (
-                corners[:, 1, 1] - corners[:, 0, 1]
-            ) * du
+            out, gx, gy = _corner_grads(operand, starts, du, dv)
         if _bf16_residuals():
             gx = gx.astype(jnp.bfloat16)
             gy = gy.astype(jnp.bfloat16)

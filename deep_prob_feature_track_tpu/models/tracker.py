@@ -146,6 +146,41 @@ class LeastSquareTracking(nn.Module):
     def _instance(self, modules, level: int):
         return modules[level] if self.cfg.no_weight_sharing else modules[0]
 
+    # sigma activations whose channels are statically known to be copies of
+    # channel 0: the encoder broadcasts a 1-channel head to every feature
+    # channel (encoder.py::_extract_sigma, ref algorithms.py:1426-1427), and
+    # "identity" is all-ones by construction
+    _BCAST_SIGMA_TYPES = (
+        "gaussian", "laplacian", "sigmoid", "old_gaussian", "old_laplacian",
+        "identity",
+    )
+
+    def _slim_sigma(self, sigmas):
+        """Drop statically-redundant broadcast sigma channels before the
+        solver.
+
+        The paper config (uncertainty_channel=1, feature_channel=8) emits a
+        1-channel sigma head that the encoder repeats to 8 channels for
+        reference parity — but bilinear warping is per-channel linear and
+        every solver consumer broadcasts, so carrying the copies through the
+        hot path only inflates the stacked warp operand (U_IC: C=17 -> 10,
+        U_FC: 49 -> 28) and the gather-VJP residual maps, the dominant
+        train-memory/time terms (docs/PERF.md).  C=10 is also exactly the
+        regime where the tile-slab grads kernel beats the XLA gather
+        (TILES_r04.json: 49.8 vs 65.4 ms VGA, 23.6 vs 31.2 level-0, while
+        C=17/Cp=32 loses).  Values are bitwise-identical; pose parity with
+        the broadcast path is pinned in tests/test_tracker.py.
+        ``DPFT_SLIM_SIGMA=0`` restores the broadcast layout for A/B.
+        """
+        cfg = self.cfg
+        if os.environ.get("DPFT_SLIM_SIGMA", "1") == "0":
+            return sigmas
+        if cfg.uncertainty_type not in self._BCAST_SIGMA_TYPES:
+            return sigmas
+        if cfg.uncertainty_type != "identity" and cfg.uncertainty_channel != 1:
+            return sigmas
+        return [None if s is None else s[:, :1] for s in sigmas]
+
     def _functional(self, mod):
         """Pure clone-apply twin of a bound submodule, for GN-loop bodies.
 
@@ -258,6 +293,8 @@ class LeastSquareTracking(nn.Module):
             return [None if a is None else a.astype(jnp.float32) for a in lst]
 
         x0, x1, sigma0, sigma1 = _f32(x0), _f32(x1), _f32(sigma0), _f32(sigma1)
+        sigma0 = self._slim_sigma(sigma0)
+        sigma1 = self._slim_sigma(sigma1)
         inv_d0 = image_pyramid(invD0, pool="max")
         inv_d1 = image_pyramid(invD1, pool="max")
 

@@ -85,6 +85,13 @@ def default_tile_config(kind, H, W, C, Hs, Ws):
     if C < 1 or C > 128:
         return None
     Cp = max(8, _next_pow2(C))
+    # measured gate (TILES_r04.json, v5e): the 5-matmul grads body pays
+    # ~linear in band_u*Cp lanes while the XLA gather is C-agnostic, so
+    # Cp=32 grads LOSE at every shape (C=17: 89.9 vs 67.2 ms VGA, 38.1 vs
+    # 32.5 level-0) where Cp<=16 wins (C=10: 49.8 vs 65.4, 23.6 vs 31.2);
+    # eval's 3-matmul body still wins at Cp=32 (48.2 vs 71.2 VGA)
+    if kind in ("grads", "train") and Cp > 16:
+        return None
     cfg = TileConfig(th=16, tw=16, band_v=64, band_u=64, inner=8, Cp=Cp)
     # tiny sample grids are not worth a tiled launch (and the full-plane
     # kernel covers them); require at least a few tiles of samples
@@ -375,18 +382,14 @@ def _xla_fallback(operand, v0, dv, u0, du, grads):
     duB = du.reshape(B, 1, N)
     dvB = dv.reshape(B, 1, N)
 
+    if grads:
+        # the training-path helper is already sample-blocked above its own
+        # threshold (same math, shared source of truth)
+        return list(W_._corner_grads(operand, starts, duB, dvB))
+
     def block(starts_b, du_b, dv_b):
         corners = W_._gather_corners(operand, starts_b)
-        out = W_._blend(corners, du_b, dv_b)
-        if not grads:
-            return (out,)
-        gx = (corners[:, 0, 1] - corners[:, 0, 0]) * (1 - dv_b) + (
-            corners[:, 1, 1] - corners[:, 1, 0]
-        ) * dv_b
-        gy = (corners[:, 1, 0] - corners[:, 0, 0]) * (1 - du_b) + (
-            corners[:, 1, 1] - corners[:, 0, 1]
-        ) * du_b
-        return (out, gx, gy)
+        return (W_._blend(corners, du_b, dv_b),)
 
     blk = _FALLBACK_BLK
     if N <= blk:

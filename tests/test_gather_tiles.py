@@ -209,8 +209,13 @@ def test_tiles_partition_over_batch_mesh(rng, monkeypatch):
 
 
 def test_default_config_gating():
-    # VGA train stacked-operand shape: supported
-    assert default_tile_config("grads", 480, 640, 17, 480, 640) is not None
+    # VGA slimmed-sigma train operand (C=10, Cp=16): supported
+    assert default_tile_config("grads", 480, 640, 10, 480, 640) is not None
+    # Cp=32 grads lose to the XLA gather at every measured shape
+    # (TILES_r04.json: C=17 89.9 vs 67.2 ms VGA, 38.1 vs 32.5 level-0)
+    assert default_tile_config("grads", 480, 640, 17, 480, 640) is None
+    # ...while the 3-matmul eval body still wins at Cp=32 (48.2 vs 71.2)
+    assert default_tile_config("eval", 480, 640, 17, 480, 640) is not None
     # tiny pyramid level: not worth a tiled launch
     assert default_tile_config("eval", 15, 20, 17, 15, 20) is None
 

@@ -225,3 +225,34 @@ def test_bf16_residuals_gradient_parity(rng, monkeypatch):
     for a, b in zip(g1[1:], g0[1:]):
         a, b = np.asarray(a), np.asarray(b)
         np.testing.assert_allclose(a, b, rtol=0, atol=4e-3 * max(np.abs(b).max(), 1e-6))
+
+
+def test_corner_grads_blocked_parity(rng, monkeypatch):
+    """The sample-blocked corner-gather path (engaged above _GRADS_BLK to
+    cap the VGA training corner temporary, see warp._corner_grads) must
+    match the one-shot path exactly — values AND gradients through the
+    custom VJP."""
+    import jax
+
+    B, C, H, W = 2, 3, 9, 11
+    F = jnp.asarray(rng.randn(B, C, H, W).astype(np.float32))
+    u = jnp.asarray(rng.uniform(-1.0, W, (B, 1, 6, 5)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-1.0, H, (B, 1, 6, 5)).astype(np.float32))
+    t = jnp.asarray(rng.randn(B, C, 6, 5).astype(np.float32))
+
+    def loss(F_, u_, v_):
+        return jnp.sum(warp.warp_features(F_, u_, v_) * t)
+
+    # value_and_grad routes the forward through the custom-VJP fwd rule,
+    # where the blocked path lives
+    out0, g0 = jax.value_and_grad(loss, argnums=(0, 1, 2))(F, u, v)
+    # N=30 with blk=7 exercises blocking incl. a padded tail block
+    monkeypatch.setattr(warp, "_GRADS_BLK", 7)
+    out1, g1 = jax.value_and_grad(loss, argnums=(0, 1, 2))(F, u, v)
+    # identical per-sample math, but the two programs fuse differently
+    # (FMA contraction), so allow f32 roundoff
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), rtol=1e-6)
+    for a, b in zip(g1, g0):
+        b = np.asarray(b)
+        tol = 1e-6 * max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), b, rtol=0, atol=tol)
