@@ -107,7 +107,10 @@ def measure_eval(B, H, W, lo=10, hi=30):
         out = None
         for _ in range(iters):
             out = forward(*dev_args)
-        jax.block_until_ready(out)
+        # fetch a tiny DEPENDENT value: block_until_ready alone can release
+        # early through the remote-attach relay on some programs (bogus
+        # ~0 ms readings, docs/PERF.md measurement methodology)
+        np.asarray(out[1])[:1]
         return time.perf_counter() - t0
 
     # slope between two pipelined iteration counts: removes the fixed

@@ -105,9 +105,12 @@ def main():
             report(metric="eval_480x640_b8", ok=False, tiles=tiles,
                    err=str(e)[:300])
 
-    for tiles in ("auto", "0"):
+    # tiles=0 only at the A/B pivot batches: each VGA train point costs two
+    # slow relay compiles, and the XLA arm exists to price the kernel, not
+    # to be the shipping path
+    for tiles, batches in (("auto", (2, 4, 8, 16)), ("0", (4, 8))):
         os.environ["DPFT_PALLAS_TILES"] = tiles
-        for B in (2, 4, 8, 16):
+        for B in batches:
             try:
                 fps = measure_train(B, 480, 640)
                 report(
