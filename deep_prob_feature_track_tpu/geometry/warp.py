@@ -292,7 +292,9 @@ def _tiles_args(operand, u, v, sample_hw):
     )
 
 
-_GRADS_BLK = 32768  # samples per corner-gather block on the training path
+# samples per corner-gather block on the training path (DPFT_GRADS_BLK
+# overrides; 0 disables blocking)
+_GRADS_BLK = int(os.environ.get("DPFT_GRADS_BLK", "32768")) or (1 << 62)
 
 
 def _corner_grads_oneshot(operand, starts, du, dv):
