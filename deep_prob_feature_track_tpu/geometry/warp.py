@@ -292,9 +292,13 @@ def _tiles_args(operand, u, v, sample_hw):
     )
 
 
-# samples per corner-gather block on the training path (DPFT_GRADS_BLK
-# overrides; 0 disables blocking)
-_GRADS_BLK = int(os.environ.get("DPFT_GRADS_BLK", "32768")) or (1 << 62)
+def _grads_blk() -> int:
+    """Samples per corner-gather block on the training path.
+
+    ``DPFT_GRADS_BLK`` overrides (read at TRACE time, like the other
+    DPFT_* toggles — setting it after import works); 0 disables
+    blocking."""
+    return int(os.environ.get("DPFT_GRADS_BLK", "32768")) or (1 << 62)
 
 
 def _corner_grads_oneshot(operand, starts, du, dv):
@@ -310,19 +314,25 @@ def _corner_grads_oneshot(operand, starts, du, dv):
     return out, gx, gy
 
 
-def _corner_grads(operand, starts, du, dv):
+def _corner_grads(operand, starts, du, dv, blk=None):
     """:func:`_corner_grads_oneshot`, blocked over samples above
-    ``_GRADS_BLK``: the one-shot corner tensor is the dominant training
+    ``_grads_blk()``: the one-shot corner tensor is the dominant training
     temporary at VGA — the scan_remat backward re-materializes it as
     ``f32[B*N,2,2,C]`` with C on the 128-lane axis (7.5x tile padding),
     the diagnosed cause of the round-3 B=8 OOM (BENCH_VGA_r03.json).
     ``lax.scan`` caps it at the block size with identical per-sample math;
-    level-0 train shapes (N=19200) stay on the one-shot path."""
+    level-0 train shapes (N=19200) stay on the one-shot path.
+
+    :param blk: explicit block-size override (callers inside a
+        ``lax.cond`` whose UNTAKEN branch must still stay under the
+        memory budget pass their own cap, see
+        gather_tiles._xla_fallback)."""
     B = operand.shape[0]
     N = starts.shape[1]
-    if N <= _GRADS_BLK:
+    if blk is None:
+        blk = _grads_blk()
+    if N <= blk:
         return _corner_grads_oneshot(operand, starts, du, dv)
-    blk = _GRADS_BLK
     nblk = -(-N // blk)
     pad = nblk * blk - N
     if pad:

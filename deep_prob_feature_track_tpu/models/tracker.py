@@ -556,11 +556,23 @@ class LeastSquareTracking(nn.Module):
         (x0, x1, sigma0, sigma1, dpt0_pyr, dpt1_pyr, inv_d0, inv_d1, m0_pyr, m1_pyr, pose) = (
             self._preprocess(img0, img1, depth0, depth1, None, obj_mask0, obj_mask1, False)
         )
+        # visualization consumers expect the sigma channel count to match
+        # the feature channel count; _slim_sigma may have reduced the
+        # broadcast maps to C=1 on the solver path (round-4 advisor), so
+        # re-broadcast for the diagnostics dict (values identical — the
+        # slimmed channels are exact copies of channel 0 by construction)
+        def _viz_sigma(sigmas, feats):
+            return [
+                s if s is None or s.shape[1] == f.shape[1]
+                else jnp.broadcast_to(s, (s.shape[0], f.shape[1]) + s.shape[2:])
+                for s, f in zip(sigmas, feats)
+            ]
+
         diag = {
             "features0": x0,
             "features1": x1,
-            "sigma0": sigma0,
-            "sigma1": sigma1,
+            "sigma0": _viz_sigma(sigma0, x0),
+            "sigma1": _viz_sigma(sigma1, x1),
             "residual": [None] * 4,
             "invalid": [None] * 4,
             "poses": [None] * 4,

@@ -383,9 +383,18 @@ def _xla_fallback(operand, v0, dv, u0, du, grads):
     dvB = dv.reshape(B, 1, N)
 
     if grads:
-        # the training-path helper is already sample-blocked above its own
-        # threshold (same math, shared source of truth)
-        return list(W_._corner_grads(operand, starts, duB, dvB))
+        # the training-path helper is sample-blocked (same math, shared
+        # source of truth) — but clamp its block size to _FALLBACK_BLK
+        # here regardless of DPFT_GRADS_BLK: XLA budgets peak memory as
+        # the max over BOTH lax.cond branches, so even a never-executed
+        # one-shot fallback (DPFT_GRADS_BLK=0 "disables blocking") would
+        # reinstate the 7.5x-padded corner temporary at VGA
+        return list(
+            W_._corner_grads(
+                operand, starts, duB, dvB,
+                blk=min(W_._grads_blk(), _FALLBACK_BLK),
+            )
+        )
 
     def block(starts_b, du_b, dv_b):
         corners = W_._gather_corners(operand, starts_b)

@@ -117,7 +117,7 @@ def main():
     path = os.path.join(REPO, "BENCH_BASELINE.json")
     with open(path) as f:
         base = json.load(f)
-    base["remeasure_r04"] = result
+    base["remeasure_r05"] = result
     with open(path, "w") as f:
         json.dump(base, f, indent=2)
     print(f"updated {path}", flush=True)

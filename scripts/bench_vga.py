@@ -1,22 +1,24 @@
-"""VGA (480x640) TPU benchmark: train + eval, tile-slab kernel A/B.
+"""VGA (480x640) TPU benchmark, round 5: engagement-asserted, two-armed.
 
-VERDICT round-3 items 1-3: prove the tile-slab kernel end-to-end at VGA,
-kill the B=8 train OOM, and re-measure the per-pixel train gap — now with
-the round-4 changes on top:
+VERDICT round-4 item 4: round-4's artifact contained two silent-fallback
+rows (tiles arm bitwise-equal to XLA) before an engaged one — an early
+probe version set DPFT_PALLAS_GATHER=0 to kill the two-hot family, which
+gates the tile family too (warp.py::_tiles_enabled kill-switch
+semantics), so the "tiles" arm silently ran XLA.  This bench therefore:
 
-- sigma-slim (tracker._slim_sigma): the paper config's stacked U_IC warp
-  operand drops from C=17 to C=10 — exactly the regime where the tile
-  grads kernel wins (TILES_r04.json);
-- grads tile gate Cp<=16 (C=17 grads lose on hardware, measured);
-- sample-blocked XLA corner gather (warp._corner_grads) capping the
-  diagnosed round-3 OOM buffer on the non-Pallas path too.
+- scrubs every DPFT_PALLAS_* override from its environment up front;
+- runs raw ENGAGEMENT probes (eval + grads dispatch sites) at the bench
+  shape before any tracker timing, and ABORTS if the auto arm is
+  bitwise-equal to the XLA arm;
+- times eval AND train on both arms with the dependent-value sync
+  (block_until_ready alone under-reports 1000x on some relay programs,
+  docs/PERF.md).
 
-Runs (train: scan_remat + bf16 residuals, the VGA recipe of round 3):
-  train 480x640 B in {2,4,8,16} x DPFT_PALLAS_TILES in {auto, 0}
-  eval  480x640 B=8           x DPFT_PALLAS_TILES in {auto, 0}
-  pose parity tiles-auto vs tiles-0 on the 5 real TUM sample frames
+Train recipe: scan_remat + bf16 residuals (round 3) — the B>=8 points
+additionally need DPFT_REMAT_ENCODER=1 (round 4) unless the compile-500
+bisect (scripts/bisect_vga_b8.py, round 5) removed that need.
 
-Writes BENCH_VGA_r04.json; one JSON line per point as it lands.
+Writes BENCH_VGA_r05.json; one JSON line per point as it lands.
 """
 
 import json
@@ -27,15 +29,93 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("DPFT_TRAIN_LOOP", "scan_remat")
 os.environ.setdefault("DPFT_BF16_RESIDUALS", "1")
+# scrub lingering kernel overrides (a stale DPFT_PALLAS_GATHER=0 is the
+# diagnosed cause of round-4's silent-fallback rows)
+for _k in ("DPFT_PALLAS_GATHER", "DPFT_PALLAS_GATHER_EVAL",
+           "DPFT_PALLAS_GATHER_TRAIN", "DPFT_PALLAS_GATHER_SPLAT",
+           "DPFT_PALLAS_TILES", "DPFT_PALLAS_INTERPRET"):
+    os.environ.pop(_k, None)
 
 import numpy as np
 
 ROWS = []
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH_VGA_r05.json",
+)
 
 
 def report(**kw):
     ROWS.append(kw)
     print(json.dumps(kw), flush=True)
+    with open(OUT, "w") as f:
+        json.dump({"rows": ROWS, "date": "2026-08-20",
+                   "note": "round-5 VGA suite: engagement-asserted two-armed "
+                   "eval+train; train = scan_remat + bf16 residuals"}, f,
+                  indent=1)
+
+
+def _smooth_coords(B, H, Wd):
+    """Tracking-realistic warp coordinates: near-identity + low-frequency
+    flow (per-tile spread well inside the band; high-frequency jitter
+    would correctly trip the in-band fallback)."""
+    iu = np.broadcast_to(np.arange(Wd, dtype=np.float32), (B, 1, H, Wd))
+    iv = np.broadcast_to(np.arange(H, dtype=np.float32)[:, None],
+                         (B, 1, H, Wd))
+    u = iu + 3.2 + 2.0 * np.sin(iv / 40.0)
+    v = iv - 2.1 + 1.5 * np.cos(iu / 55.0)
+    return u.astype(np.float32), v.astype(np.float32)
+
+
+def assert_engaged(B=8, C=10, H=480, Wd=640):
+    """Prove the tile kernel actually dispatches at the bench shape, on
+    BOTH training-path (grads) and eval sites, before timing anything:
+    the auto arm's raw outputs must differ from the XLA arm's (the kernel
+    is 'high'- not f32-exact, ~1e-5), bitwise equality = silent fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_prob_feature_track_tpu.geometry import warp as W
+
+    rng = np.random.RandomState(0)
+    F = jnp.asarray(rng.randn(B, C, H, Wd).astype(np.float32))
+    u_np, v_np = _smooth_coords(B, H, Wd)
+    u, v = jnp.asarray(u_np), jnp.asarray(v_np)
+    t = jnp.asarray(rng.randn(B, C, H, Wd).astype(np.float32))
+
+    for site in ("eval", "grads"):
+        outs = {}
+        for tiles in ("auto", "0"):
+            os.environ["DPFT_PALLAS_TILES"] = tiles
+
+            if site == "eval":
+
+                @jax.jit
+                def f(F_, u_, v_):
+                    return W.warp_features(F_, u_, v_)
+
+                outs[tiles] = np.asarray(f(F, u, v))
+            else:
+                # the grads site lives in the custom-VJP fwd rule; the
+                # coordinate gradient contracts the kernel's gx/gy maps,
+                # so it differs iff the kernel ran
+                @jax.jit
+                def g(F_, u_, v_):
+                    return jax.grad(
+                        lambda a, b, c: jnp.sum(W.warp_features(a, b, c) * t),
+                        argnums=1,
+                    )(F_, u_, v_)
+
+                outs[tiles] = np.asarray(g(F, u, v))
+        d = float(np.abs(outs["auto"] - outs["0"]).max())
+        row = dict(probe=f"tiles_engage_{site}_{H}x{Wd}_c{C}_b{B}",
+                   maxdiff_vs_xla=d, engaged=bool(d > 0))
+        report(**row)
+        if not row["engaged"]:
+            report(fatal=f"tile kernel NOT engaged at the {site} site — "
+                   "A/B would be meaningless; aborting")
+            raise SystemExit(1)
+    os.environ.pop("DPFT_PALLAS_TILES", None)
 
 
 def pose_parity_real_frames():
@@ -70,6 +150,7 @@ def pose_parity_real_frames():
 
         R, t = forward(c0, c1, d0, d1, Kb)
         poses[tiles] = (np.asarray(R), np.asarray(t))
+    os.environ.pop("DPFT_PALLAS_TILES", None)
     (Ra, ta), (Rx, tx) = poses["auto"], poses["0"]
     dR = Ra @ np.swapaxes(Rx, 1, 2)
     ang = np.degrees(
@@ -92,6 +173,8 @@ def main():
     from bench import measure_eval
 
     _setup_cache()
+
+    assert_engaged()
 
     for tiles in ("auto", "0"):
         os.environ["DPFT_PALLAS_TILES"] = tiles
@@ -117,6 +200,7 @@ def main():
                     metric=f"train_step_fps_feature_preset_480x640_b{B}",
                     value=round(fps, 2), unit="frames/s", tiles=tiles,
                     scan_remat=True, bf16_residuals=True,
+                    remat_encoder=os.environ.get("DPFT_REMAT_ENCODER") == "1",
                 )
             except Exception as e:  # noqa: BLE001
                 report(metric=f"train_step_480x640_b{B}", ok=False,
@@ -128,23 +212,7 @@ def main():
         report(probe="pose_parity_tiles_vs_xla_real_frames_480x640",
                ok=False, err=str(e)[:300])
 
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_VGA_r04.json",
-    )
-    with open(out, "w") as f:
-        json.dump(
-            {
-                "rows": ROWS,
-                "date": "2026-08-20",
-                "note": "round-4 VGA suite: sigma-slim (C=17->10 operand) + "
-                "Cp<=16 grads tile gate + blocked corner gather; train = "
-                "scan_remat + bf16 residuals (the round-3 recipe)",
-            },
-            f,
-            indent=1,
-        )
-    print(f"wrote {out}", flush=True)
+    print(f"wrote {OUT}", flush=True)
 
 
 if __name__ == "__main__":

@@ -13,8 +13,13 @@ This probe measures, for kf ∈ {1,2,3,4} (5 frames bound kf at 4):
 - the per-tile overflow distribution (how many rows/cols past the band
   the worst tile reaches) so band sizing is data-driven, not asserted.
 
+Round 5 additionally grades the t8x16_b48x64_i8 candidate config (15%
+faster at C=17 eval per TILES_r04.json) — its band_v=48 has 16 fewer
+rows of vertical-motion headroom than the shipping 64, so whether it can
+become the Cp>16 eval default is a data question this probe answers.
+
 CPU-only (forces the cpu backend; safe to run alongside nothing).
-Writes INBAND_r04.json at the repo root.
+Writes INBAND_r05.json at the repo root.
 """
 
 import json
@@ -141,34 +146,53 @@ def main():
                         px, py, inv_pyr[lvl], pose, Kl
                     )
                     for C in (17, 10):
-                        cfg = GT.default_tile_config("grads", H, Wd, C, H, Wd)
-                        if cfg is None:
-                            continue
-                        ok, ov_v, ov_u, frac = band_stats(
-                            u, v, (1, H, Wd, C), cfg
-                        )
-                        report(
-                            kf=kf, pair=(i, j), pose=pose_name, level=lvl,
-                            C=C, ok=ok, frac_tiles_in_band=round(frac, 4),
-                            overflow_rows=ov_v, overflow_cols=ov_u,
-                            t_cm=round(t_cm, 2),
-                        )
+                        # C=17 grads is gated off (Cp>16 loses on hardware)
+                        # but its EVAL config is live; band geometry only
+                        # depends on (th, tw, bands, q), shared across kinds
+                        cands = [
+                            ("ship16x16_b64x64",
+                             GT.default_tile_config("eval", H, Wd, C, H, Wd)),
+                        ]
+                        Cp = max(8, 1 << max(0, (C - 1).bit_length()))
+                        small = GT.TileConfig(th=8, tw=16, band_v=48,
+                                              band_u=64, inner=8, Cp=Cp)
+                        if H >= small.band_v and (
+                            ((H - small.band_v) // 8) * 8 + small.band_v >= H
+                        ):
+                            cands.append(("t8x16_b48x64_i8", small))
+                        for cfg_name, cfg in cands:
+                            if cfg is None:
+                                continue
+                            ok, ov_v, ov_u, frac = band_stats(
+                                u, v, (1, H, Wd, C), cfg
+                            )
+                            report(
+                                kf=kf, pair=(i, j), pose=pose_name, level=lvl,
+                                C=C, cfg=cfg_name, ok=ok,
+                                frac_tiles_in_band=round(frac, 4),
+                                overflow_rows=ov_v, overflow_cols=ov_u,
+                                t_cm=round(t_cm, 2),
+                            )
 
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "INBAND_r04.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
-    # summary: whole-call ok rate per (kf, pose)
+        os.path.abspath(__file__))), "INBAND_r05.json")
+    # summary: whole-call ok rate per (kf, pose, cfg)
     from collections import defaultdict
 
     agg = defaultdict(lambda: [0, 0])
     for r in results:
-        k = (r["kf"], r["pose"])
+        k = (r["kf"], r["pose"], r["cfg"])
         agg[k][0] += r["ok"]
         agg[k][1] += 1
+    summary = {}
     for k in sorted(agg):
         ok, tot = agg[k]
-        print(f"kf={k[0]} pose={k[1]}: {ok}/{tot} calls in band", flush=True)
+        line = f"kf={k[0]} pose={k[1]} cfg={k[2]}: {ok}/{tot} calls in band"
+        summary[f"kf{k[0]}_{k[1]}_{k[2]}"] = f"{ok}/{tot}"
+        print(line, flush=True)
+    with open(out, "w") as f:
+        json.dump({"rows": results, "summary": summary,
+                   "date": "2026-08-20"}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -243,8 +243,13 @@ def test_slim_sigma_pose_parity(rng, monkeypatch, variant):
     R1, t1 = net.apply(variables, *inputs, train=False)
     monkeypatch.setenv("DPFT_SLIM_SIGMA", "0")
     R0, t0 = net.apply(variables, *inputs, train=False)
-    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), atol=0, rtol=0)
-    np.testing.assert_allclose(np.asarray(R1), np.asarray(R0), atol=0, rtol=0)
+    # tiny envelope, not bitwise (round-4 advisor): the two layouts compile
+    # to different programs, and with the facade's exactly-identity init
+    # pose a frame-edge comparison can legitimately flip between fusions
+    # (round-3 parity-test guidance); per-value math is still identical,
+    # so anything beyond f32-noise-through-12-GN-solves is a real bug
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R0), rtol=0, atol=1e-5)
 
 
 def test_slim_sigma_train_gradient_parity(rng, monkeypatch):

@@ -246,8 +246,9 @@ def test_corner_grads_blocked_parity(rng, monkeypatch):
     # value_and_grad routes the forward through the custom-VJP fwd rule,
     # where the blocked path lives
     out0, g0 = jax.value_and_grad(loss, argnums=(0, 1, 2))(F, u, v)
-    # N=30 with blk=7 exercises blocking incl. a padded tail block
-    monkeypatch.setattr(warp, "_GRADS_BLK", 7)
+    # N=30 with blk=7 exercises blocking incl. a padded tail block; the
+    # env var is read at trace time (warp._grads_blk), so setenv works
+    monkeypatch.setenv("DPFT_GRADS_BLK", "7")
     out1, g1 = jax.value_and_grad(loss, argnums=(0, 1, 2))(F, u, v)
     # identical per-sample math, but the two programs fuse differently
     # (FMA contraction), so allow f32 roundoff
