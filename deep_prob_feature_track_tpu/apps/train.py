@@ -45,6 +45,14 @@ def build_argparser():
                    help="comma-separated epoch boundaries for MultiStepLR")
     p.add_argument("--weight_decay", type=float, default=4e-4)
     p.add_argument("--grad_clip", type=float, default=5.0)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation microbatches per step (the "
+                        "compiled program has the batch/accum shape; lifts "
+                        "the VGA batch ceiling — docs/PERF.md round 5)")
+    p.add_argument("--accum_loop", default="host", choices=("host", "scan"),
+                   help="accumulation driver: 'host' compiles the "
+                        "microbatch-shaped step (VGA-proven), 'scan' is a "
+                        "single dispatch for small shapes")
     p.add_argument("--checkpoint", default="", help="resume checkpoint")
     p.add_argument("--checkpoint_folder", default="logs")
     p.add_argument("--save_checkpoint_freq", type=int, default=1)
@@ -130,6 +138,7 @@ def main(argv=None):
             int(e) for e in args.lr_decay_epochs.split(",") if e
         ),
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+        accum_steps=args.accum_steps, accum_loop=args.accum_loop,
     )
     optimizer = make_optimizer(tcfg, steps_per_epoch)
     example = next(iter(BatchLoader(train_set, local_bs, prefetch=0)))

@@ -46,6 +46,25 @@ class TrainConfig:
     epochs: int = 30
     batch_size: int = 64
     opt: str = "adam"  # adam | sgd
+    # gradient accumulation: split each batch into this many sequential
+    # microbatches inside ONE jitted step (lax.scan), average the grads,
+    # apply the optimizer once.  The compiled program has the MICROBATCH
+    # shape, which is what lifts the VGA batch ceiling on this
+    # environment's remote compile helper (it dies on [B>=8, 480, 640]
+    # train backwards — see docs/PERF.md round-5 bisect); it is also the
+    # standard lever for batches beyond device memory.  BatchNorm runs
+    # per-microbatch with EMA chained across them — the same semantics as
+    # the reference's per-GPU nn.DataParallel statistics
+    # (ref train.py:295-298).
+    accum_steps: int = 1
+    # "scan": microbatches inside ONE jitted step (lowest dispatch
+    # overhead; XLA's scheduler must fit the whole loop body, which at
+    # VGA shapes keeps many remat'd encoder-backward copies live — OOM,
+    # measured round 5).  "host": a Python loop over a per-microbatch
+    # jitted grad + a tiny jitted apply — the compiled program IS the
+    # microbatch-shaped step (the one that fits/compiles), at the cost of
+    # accum_steps dispatches per step.  VGA B>=16 uses "host".
+    accum_loop: str = "scan"
 
 
 def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
@@ -178,13 +197,125 @@ def make_train_step(
         state object after each call.
     """
 
-    def step_fn(state: TrainState, batch):
-        def loss_fn(params):
-            return compute_loss(net, train_cfg, params, state.batch_stats, batch)
+    accum = max(int(getattr(train_cfg, "accum_steps", 1) or 1), 1)
+    accum_loop = getattr(train_cfg, "accum_loop", "scan")
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+    if accum > 1 and accum_loop == "host":
+        # Python loop over a per-microbatch jitted grad + one jitted
+        # apply.  The compiled program is the MICROBATCH-shaped step —
+        # at VGA shapes the scan variant OOMs (XLA keeps many remat'd
+        # encoder-backward copies live inside the loop body, measured
+        # 28 G at B=16/accum=2 where the standalone B=8 program fits),
+        # and B>=8 single-shot programs crash this environment's remote
+        # compile helper outright (docs/PERF.md round-5 bisect).  Costs
+        # accum dispatches per step; semantics identical to the scan
+        # mode (chained BN stats, averaged grads, one optimizer apply).
+        assert mesh is None, (
+            "accum_loop='host' is single-device (use the mesh data axis "
+            "for multi-chip batch scaling instead)"
         )
+
+        # stats is NOT donated: the first call would invalidate
+        # state.batch_stats, which apply_fn still receives inside state
+        @jax.jit
+        def micro_grad(params, stats, mb):
+            (l, new_stats), g = jax.value_and_grad(
+                lambda p: compute_loss(net, train_cfg, p, stats, mb),
+                has_aux=True,
+            )(params)
+            return l, new_stats, g
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def accum_add(gacc, lacc, g, l):
+            return jax.tree.map(lambda a, b: a + b, gacc, g), lacc + l
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate else (1, 2, 3))
+        def apply_fn(state, gsum, lsum, new_stats):
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            loss = lsum / accum
+            updates, new_opt = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+            if guard_nonfinite:
+                ok = jnp.isfinite(loss) & jnp.isfinite(metrics["grad_norm"])
+                keep = lambda new, old: jax.tree.map(
+                    lambda a, b: jnp.where(ok, a, b), new, old
+                )
+                new_params = keep(new_params, state.params)
+                new_opt = keep(new_opt, state.opt_state)
+                new_stats = keep(new_stats, state.batch_stats)
+                metrics["skipped"] = ~ok
+            return TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ), metrics
+
+        def host_step(state: TrainState, batch):
+            B = next(iter(batch.values())).shape[0]
+            assert B % accum == 0, (B, accum)
+            mb_sz = B // accum
+            stats = state.batch_stats
+            gsum = lsum = None
+            for i in range(accum):
+                mb = {k: v[i * mb_sz:(i + 1) * mb_sz]
+                      for k, v in batch.items()}
+                l, stats, g = micro_grad(state.params, stats, mb)
+                if gsum is None:
+                    gsum, lsum = g, l
+                else:
+                    gsum, lsum = accum_add(gsum, lsum, g, l)
+            return apply_fn(state, gsum, lsum, stats)
+
+        return host_step
+
+    def step_fn(state: TrainState, batch):
+        if accum > 1:
+            # microbatch scan: grads averaged, loss averaged, BatchNorm
+            # EMA chained sequentially (per-microbatch statistics — the
+            # reference's per-GPU DataParallel semantics).  With a ragged
+            # pad_mask the loss/grad weighting is mean-of-microbatch-means
+            # rather than global-mask-weighted; microbatches are equal
+            # slices of the batch, so full batches are exact.
+            def split(x):
+                assert x.shape[0] % accum == 0, (
+                    f"batch dim {x.shape[0]} not divisible by "
+                    f"accum_steps={accum}"
+                )
+                return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+            mbs = jax.tree.map(split, batch)
+            gzero = jax.tree.map(jnp.zeros_like, state.params)
+
+            def micro(carry, mb):
+                stats, gacc, lacc = carry
+
+                def loss_fn(params):
+                    return compute_loss(net, train_cfg, params, stats, mb)
+
+                (l, new_stats), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                gacc = jax.tree.map(lambda a, b: a + b, gacc, g)
+                return (new_stats, gacc, lacc + l), None
+
+            (new_stats, gsum, lsum), _ = jax.lax.scan(
+                micro, (state.batch_stats, gzero, jnp.float32(0.0)), mbs
+            )
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            loss = lsum / accum
+        else:
+            def loss_fn(params):
+                return compute_loss(
+                    net, train_cfg, params, state.batch_stats, batch
+                )
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
@@ -226,13 +357,21 @@ def create_train_state(
     example_batch: Dict[str, np.ndarray],
     seed: int = 1,
 ) -> TrainState:
+    # init on a SINGLE-sample slice: every parameter/stat shape is batch-
+    # independent, the init forward compiles ~B-times faster, and a full-
+    # batch VGA init would trip this environment's compile-helper ceiling
+    # for B>=16 480x640 programs (docs/PERF.md round-5 bisect) even when
+    # the actual training step — microbatched via accum_steps — fits
+    def one(x):
+        return jnp.asarray(np.asarray(x)[:1])
+
     variables = net.init(
         jax.random.PRNGKey(seed),
-        jnp.asarray(example_batch["color0"]),
-        jnp.asarray(example_batch["color1"]),
-        jnp.asarray(example_batch["depth0"]),
-        jnp.asarray(example_batch["depth1"]),
-        jnp.asarray(example_batch["calib"]),
+        one(example_batch["color0"]),
+        one(example_batch["color1"]),
+        one(example_batch["depth0"]),
+        one(example_batch["depth1"]),
+        one(example_batch["calib"]),
         train=False,
     )
     params = variables.get("params", {})  # e.g. the RGB preset is param-free

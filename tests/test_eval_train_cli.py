@@ -131,6 +131,10 @@ def test_train_cli_smoke(tum_fixture, tmp_path):
                 # per-knob flags; here any field is --set key=value)
                 "--set", "max_iter_per_pyr=1",
                 "--lr_decay_epochs", "1,2",
+                # gradient accumulation through the CLI (round-5 VGA
+                # batch-ceiling lever; host mode = the VGA-proven driver)
+                "--accum_steps", "2",
+                "--accum_loop", "host",
                 "--checkpoint_folder", str(tmp_path / "logs"),
             ]
         )

@@ -466,3 +466,97 @@ def test_optimizer_parity_vs_torch():
                 np.asarray(a), b.detach().numpy(), atol=1e-6,
                 err_msg=opt_name,
             )
+
+
+@pytest.mark.parametrize("loop", ["scan", "host"])
+def test_grad_accumulation_matches_sequential_microbatches(rng, loop):
+    """accum_steps=k inside ONE jitted step must reproduce k sequential
+    half-batch value_and_grad calls with chained BatchNorm stats and
+    averaged grads (the per-GPU DataParallel semantics, ref
+    train.py:295-298).  Tolerance is calibrated from the manual program's
+    own 1e-6-input-perturbation self-divergence: backprop through 12
+    unrolled GN solves amplifies f32 rounding chaotically (round-3
+    measurement, see docstrings above), so structurally different but
+    mathematically identical programs can only be compared inside that
+    envelope."""
+    import dataclasses
+
+    import jax.flatten_util as fu
+
+    B = 4
+    batch = synthetic_batch(rng, B=B)
+    batch_p = {k: (v + 1e-6 if k == "color0" else v) for k, v in batch.items()}
+    net = LeastSquareTracking(cfg=get_preset("feature"))
+    tcfg = TrainConfig(batch_size=B)
+    opt = make_optimizer(tcfg, 100)
+    s0 = create_train_state(net, opt, batch)
+
+    def lg(stats, b):
+        return jax.value_and_grad(
+            lambda p: compute_loss(net, tcfg, p, stats, b), has_aux=True
+        )(s0.params)
+
+    def manual(b):
+        h1 = {k: v[: B // 2] for k, v in b.items()}
+        h2 = {k: v[B // 2:] for k, v in b.items()}
+        (l1, st1), g1 = lg(s0.batch_stats, h1)
+        (l2, st2), g2 = lg(st1, h2)
+        return (
+            (l1 + l2) / 2,
+            jax.tree.map(lambda a, c: (a + c) / 2, g1, g2),
+            st2,
+        )
+
+    lm, gm, stm = manual(batch)
+    lp, gp, _ = manual(batch_p)
+    env_l = abs(float(lm - lp)) + 1e-6
+    ga, gb = fu.ravel_pytree(gm)[0], fu.ravel_pytree(gp)[0]
+    env_g = float(jnp.max(jnp.abs(ga - gb))) + 1e-6
+
+    step = make_train_step(
+        net, dataclasses.replace(tcfg, accum_steps=2, accum_loop=loop), opt
+    )
+    s_new, metrics = step(create_train_state(net, opt, batch), batch)
+    assert abs(float(metrics["loss"]) - float(lm)) < 3 * env_l
+    # grad_norm is a scalar summary of the averaged grads
+    gn_manual = float(jnp.linalg.norm(ga))
+    assert abs(float(metrics["grad_norm"]) - gn_manual) < 3 * env_g * np.sqrt(
+        ga.size
+    ) + 1e-3 * gn_manual
+    # chained (not parallel-averaged) BatchNorm stats: exact, no solver in
+    # the stats path at eval... stats come from the encoder forward, which
+    # is NOT chaotic — require tight agreement
+    sa = fu.ravel_pytree(s_new.batch_stats)[0]
+    sb = fu.ravel_pytree(stm)[0]
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-5)
+
+
+def test_grad_accumulation_full_batch_equivalence_loss_scale(rng):
+    """accum_steps=1 vs accum_steps=2 train the same model family: one
+    optimizer step from the same init must land within the chaos envelope
+    (pinning that the accumulated update is applied ONCE, not k times)."""
+    import dataclasses
+
+    import jax.flatten_util as fu
+
+    B = 4
+    batch = synthetic_batch(rng, B=B)
+    net = LeastSquareTracking(cfg=get_preset("feature"))
+    tcfg = TrainConfig(batch_size=B)
+    opt = make_optimizer(tcfg, 100)
+
+    outs = {}
+    for k in (1, 2):
+        step = make_train_step(
+            net, dataclasses.replace(tcfg, accum_steps=k), opt
+        )
+        s, m = step(create_train_state(net, opt, batch), batch)
+        outs[k] = (fu.ravel_pytree(s.params)[0], float(m["loss"]))
+    p1, l1 = outs[1]
+    p2, l2 = outs[2]
+    # one Adam step moves params by ~lr; the two programs' grads differ
+    # only by microbatch-vs-batch BN statistics + chaos, so the UPDATES
+    # agree to a loose envelope while a double-apply would be ~2x off
+    d = float(jnp.linalg.norm(p2 - p1))
+    base = float(jnp.linalg.norm(p1))
+    assert d < 5e-2 * base, (d, base)
