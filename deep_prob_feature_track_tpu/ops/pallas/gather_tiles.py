@@ -92,6 +92,11 @@ def default_tile_config(kind, H, W, C, Hs, Ws):
     # eval's 3-matmul body still wins at Cp=32 (48.2 vs 71.2 VGA)
     if kind in ("grads", "train") and Cp > 16:
         return None
+    # uniform default, re-confirmed round 5 (TILES_r05.json): beats every
+    # th=8 / band_v in {48,56,64} candidate at BOTH resolutions, both
+    # kinds, C in {10,17} within one session; band_v=64 is also the only
+    # band measured 100% in-band on real keyframe motion at kf<=4
+    # (INBAND_r05.json — band_v=48 overflows at kf=4 level-0)
     cfg = TileConfig(th=16, tw=16, band_v=64, band_u=64, inner=8, Cp=Cp)
     # tiny sample grids are not worth a tiled launch (and the full-plane
     # kernel covers them); require at least a few tiles of samples

@@ -190,21 +190,25 @@ def main():
 
     # tiles=0 only at the A/B pivot batches: each VGA train point costs two
     # slow relay compiles, and the XLA arm exists to price the kernel, not
-    # to be the shipping path
-    for tiles, batches in (("auto", (2, 4, 8, 16)), ("0", (4, 8))):
+    # to be the shipping path.  B>=8 uses gradient accumulation to
+    # microbatch 4 (single-shot [B>=8,480,640] backwards crash this
+    # environment's compile helper — PERF.md round-5 bisect; accum is the
+    # shipping recipe, so it is what gets benched)
+    for tiles, batches in (("auto", ((2, 1), (4, 1), (8, 2), (16, 4))),
+                           ("0", ((4, 1), (8, 2)))):
         os.environ["DPFT_PALLAS_TILES"] = tiles
-        for B in batches:
+        for B, accum in batches:
             try:
-                fps = measure_train(B, 480, 640)
+                fps = measure_train(B, 480, 640, accum=accum)
                 report(
                     metric=f"train_step_fps_feature_preset_480x640_b{B}",
                     value=round(fps, 2), unit="frames/s", tiles=tiles,
-                    scan_remat=True, bf16_residuals=True,
+                    scan_remat=True, bf16_residuals=True, accum_steps=accum,
                     remat_encoder=os.environ.get("DPFT_REMAT_ENCODER") == "1",
                 )
             except Exception as e:  # noqa: BLE001
                 report(metric=f"train_step_480x640_b{B}", ok=False,
-                       tiles=tiles, err=str(e)[:300])
+                       tiles=tiles, accum_steps=accum, err=str(e)[:300])
 
     try:
         pose_parity_real_frames()
