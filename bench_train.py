@@ -122,15 +122,20 @@ def main():
 def sweep():
     """640x480 + batch grid (VERDICT round-1 item #5): one line per point."""
     _setup_cache()
-    grid = [(64, 120, 160, 2, 6), (8, 120, 160, 2, 6), (8, 480, 640, 2, 6)]
-    for B, H, W, lo, hi in grid:
-        fps = measure_train(B, H, W, lo=lo, hi=hi)
+    # VGA B=8 must go through the accumulation recipe (microbatch 4): the
+    # single-shot [8,480,640] backward trips the environment's
+    # compile-helper ceiling (PERF.md round-5 bisect)
+    grid = [(64, 120, 160, 2, 6, 1), (8, 120, 160, 2, 6, 1),
+            (8, 480, 640, 2, 6, 2)]
+    for B, H, W, lo, hi, accum in grid:
+        fps = measure_train(B, H, W, lo=lo, hi=hi, accum=accum)
         print(
             json.dumps(
                 {
                     "metric": f"train_step_fps_feature_preset_{H}x{W}_b{B}",
                     "value": round(fps, 2),
                     "unit": "frames/s",
+                    "accum_steps": accum,
                     "vs_baseline": (
                         round(fps / BASELINE_TRAIN_FPS, 2)
                         if (H, W, B) == (120, 160, 64)
