@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("DPFT_TRAIN_LOOP", "scan_remat")
+os.environ.setdefault("DPFT_TRAIN_LOOP", "scan_remat")  # VGA-capable loop; level-0 unrolled numbers live in BENCH_TRAIN_r05
 os.environ.setdefault("DPFT_BF16_RESIDUALS", "1")
 
 ROWS = []

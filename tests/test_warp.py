@@ -257,3 +257,62 @@ def test_corner_grads_blocked_parity(rng, monkeypatch):
         b = np.asarray(b)
         tol = 1e-6 * max(np.abs(b).max(), 1e-6)
         np.testing.assert_allclose(np.asarray(a), b, rtol=0, atol=tol)
+
+
+def test_banded_splat_parity_and_dispatch(rng, monkeypatch):
+    """The banded splat (warp._splat_twohot, DPFT_SPLAT_BAND) restricts
+    the V-side two-hot to a per-block row band — H/band x fewer MACs, the
+    VGA train backward's dominant term (PROFILE_VGA_r05.json) — with a
+    whole-call lax.cond fallback to the exact dense path when any block's
+    v-spread exceeds the band (the gather_tiles in-band pattern).
+
+    Checks: (a) the cond dispatch is actually wired (jaxpr contains the
+    cond iff the band is enabled at an eligible shape); (b) operand
+    gradients match the dense path on tracking-realistic smooth coords
+    (engaged branch, summation-order tolerance); (c) wild random coords
+    fall back to results matching the dense path."""
+    import jax
+
+    B, C, H, W = 2, 3, 96, 128
+    F = jnp.asarray(rng.randn(B, C, H, W).astype(np.float32))
+    iu, iv = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    # near-identity smooth flow, clipped inside the plane: every
+    # 1920-sample raster block spans ~15 rows + <3 rows of flow -> well
+    # inside the 64-row band
+    u_s = np.clip(iu + 1.7 * np.sin(iv / 23.0), 0, W - 1.001)
+    v_s = np.clip(iv - 1.3 * np.cos(iu / 31.0), 0, H - 1.001)
+    u_s = jnp.asarray(np.broadcast_to(u_s, (B, 1, H, W)).copy())
+    v_s = jnp.asarray(np.broadcast_to(v_s, (B, 1, H, W)).copy())
+    t = jnp.asarray(rng.randn(B, C, H, W).astype(np.float32))
+
+    def loss(F_, u_, v_):
+        return jnp.sum(warp.warp_features(F_, u_, v_) * t)
+
+    grad_op = jax.grad(loss, argnums=0)
+
+    # the custom-VJP bwd trace is cached process-globally, so flipping
+    # the trace-time env var needs the trace caches cleared between arms
+    monkeypatch.setenv("DPFT_SPLAT_BAND", "0")
+    jax.clear_caches()
+    assert "cond[" not in str(jax.make_jaxpr(grad_op)(F, u_s, v_s))
+    g_dense = np.asarray(grad_op(F, u_s, v_s))
+
+    monkeypatch.setenv("DPFT_SPLAT_BAND", "64")
+    jax.clear_caches()
+    assert "cond[" in str(jax.make_jaxpr(grad_op)(F, u_s, v_s))
+    g_band = np.asarray(grad_op(F, u_s, v_s))
+
+    tol = 1e-5 * max(np.abs(g_dense).max(), 1e-6)
+    np.testing.assert_allclose(g_band, g_dense, rtol=0, atol=tol)
+
+    # wild coords: per-block v-spread ~ full plane -> in-band fails ->
+    # the cond's dense branch must reproduce the band=0 result
+    u_r = jnp.asarray(rng.uniform(0, W - 1.001, (B, 1, H, W)).astype(np.float32))
+    v_r = jnp.asarray(rng.uniform(0, H - 1.001, (B, 1, H, W)).astype(np.float32))
+    g_band_wild = np.asarray(grad_op(F, u_r, v_r))
+    monkeypatch.setenv("DPFT_SPLAT_BAND", "0")
+    jax.clear_caches()
+    g_dense_wild = np.asarray(grad_op(F, u_r, v_r))
+    tol = 1e-6 * max(np.abs(g_dense_wild).max(), 1e-6)
+    np.testing.assert_allclose(g_band_wild, g_dense_wild, rtol=0, atol=tol)
